@@ -1,38 +1,631 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the operator surface from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup family, similarity search, text
+analysis), each with a DuckDB-equivalent ANSI-SQL oracle where the semantics
+are SQL-expressible.  Column names/aliases match between the Spark plan and
+the SQL so the driver's order-insensitive value-hash compares cleanly; all
+floating-point aggregates are rounded on both sides (sum->2dp, avg/ratio->
+4-6dp) because distributed summation order differs from DuckDB's.
+
+Entries without an ``oracle_sql`` (LSH ANN with float cosine, per-label
+centroid similarity, simhash) are intentionally rows-only checks: their
+results depend on float reduction order, which no cross-engine hash can pin.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from new_ent_crawler_spark.functions import text as TX
+from new_ent_crawler_spark.operators import dedup_text as DT
+from new_ent_crawler_spark.operators import similarity as SIM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact-dedup the documents corpus (hash-groupBy, newest/first
+    writer wins), then per-(lang, source) dedup statistics — the engine's
+    REPLACE-INTO-md5-key semantics (utils/MysqlDBHelper.py:22-31) expressed
+    as one declarative plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(DT.normalized_text("text")).alias("digest"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    keep = (digests.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_copies", F.count("*").over(
+                Window.partitionBy("digest")))
+            .filter(F.col("rn") == 1))
+    return (keep.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_unique_docs"),
+                 F.sum(F.col("n_copies") - 1).alias("n_dupes_removed"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+            .orderBy("lang", "source"))
+
+
+# --------------------------------------------------------------------------
+# query surface
+# --------------------------------------------------------------------------
+
+def _q_frontier_topk_per_host(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("event_type", "event_id", "rk"))
+
+
+def _q_dedup_last_writer_wins(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").select("o_custkey", "o_orderkey"))
+
+
+def _q_seen_set_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_anti")
+            .select("c_custkey"))
+
+
+def _q_semi_join_active(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter("o_totalprice > 100000")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_semi")
+            .select("c_custkey"))
+
+
+def _q_broadcast_dim_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (c.join(F.broadcast(n),
+                   c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+def _q_fanout_rejoin(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n_items"),
+                      F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+    return (o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"])
+            .select("o_orderkey", "o_orderpriority", "n_items", "sum_qty"))
+
+
+def _q_wave_priority_dequeue(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("o_orderpriority", "o_orderkey", "rk"))
+
+
+def _q_md5_dedup_key(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(F.countDistinct(
+        F.md5(DT.normalized_text("text"))).alias("n_keys"))
+
+
+def _q_union_keys(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    s = _t(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
+    return c.union(s).distinct().agg(F.count("*").alias("n_keys"))
+
+
+def _q_explode_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("tok").alias("n_distinct_tokens")))
+
+
+def _q_regex_digits(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey",
+                    F.regexp_replace("c_name", "[^0-9]", "").alias("digits"))
+
+
+def _q_date_format_day(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n_orders")))
+
+
+def _q_enum_decode(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    label = (F.when(F.col("l_returnflag") == "R", "退货")
+             .when(F.col("l_returnflag") == "A", "认可")
+             .otherwise("正常"))
+    return (li.select(label.alias("label"))
+            .groupBy("label").agg(F.count("*").alias("n_rows")))
+
+
+def _q_term_concat_none(spark, sf):
+    p = _t(spark, sf, "part")
+    term = F.concat(
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("None")),
+        F.lit("-"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("None")))
+    return (p.select(term.alias("term"))
+            .groupBy("term").agg(F.count("*").alias("n_parts")))
+
+
+def _q_events_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type",
+                       F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "1997-12-01 00:00:00")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_tpch_q3(spark, sf):
+    c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.round(rev, 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+def _q_tpch_q5ish(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    li = _t(spark, sf, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.round(rev, 2).alias("revenue")))
+
+
+def _q_rollup_region_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+              .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers")))
+
+
+def _q_count_distinct_users(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def _q_text_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.filter(F.split("text", " "),
+                           lambda x: F.length(x) > 0)).cast("long")
+    return d.select("doc_id", toks.alias("n_tokens"))
+
+
+def _q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+def _q_text_fingerprint_dups(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.select(TX.fingerprint("text").alias("fp"))
+            .groupBy("fp").agg(F.count("*").alias("n_docs"))
+            .filter("n_docs > 1"))
+
+
+def _q_dedup_exact(spark, sf):
+    return DT.exact_dedup(_t(spark, sf, "documents"))
+
+
+_SHINGLE_K = 8
+_MINHASHES = 6
+_BANDS = 3
+
+
+def _q_minhash_signatures(spark, sf):
+    """Portable minhash: per doc, min md5(seed:shingle) hex string per seed
+    (md5 is the hash both engines share)."""
+    sh = DT.shingles(_t(spark, sf, "documents"), k=_SHINGLE_K)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(_MINHASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _q_minhash_lsh_pairs(spark, sf):
+    sig = _q_minhash_signatures(spark, sf)
+    rows_per_band = _MINHASHES // _BANDS
+    frames = []
+    for b in range(_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        frames.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    banded = frames[0]
+    for fr in frames[1:]:
+        banded = banded.unionByName(fr)
+    a, b2 = banded.alias("a"), banded.alias("b")
+    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+
+
+def _q_ngram_jaccard_pairs(spark, sf):
+    return DT.ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                  k=_SHINGLE_K, threshold=0.5)
+
+
+def _q_sim_brute_topk(spark, sf):
+    """Integer-quantized dot-product top-10 vs the vec_id=0 query vector —
+    quantization makes the score exact in both engines."""
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter("vec_id = 0").select(
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000)).alias("q"))
+    quant = F.transform("embedding",
+                        lambda x: F.round(x.cast("double") * 1000))
+    dot = F.aggregate(
+        F.zip_with(quant, F.col("q"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (e.crossJoin(F.broadcast(qvec))
+            .select("vec_id", dot.cast("long").alias("dot"))
+            .orderBy(F.col("dot").desc(), F.col("vec_id"))
+            .limit(10))
+
+
+def _q_sim_label_centroid_topk(spark, sf):
+    # rows-only: float centroid math is reduction-order dependent
+    return SIM.pairwise_topk_by_label(_t(spark, sf, "embeddings"), k=5)
+
+
+def _q_ann_lsh_topk(spark, sf):
+    # rows-only: float cosine
+    e = _t(spark, sf, "embeddings")
+    query = [r[0] for r in
+             e.filter("vec_id = 0")
+             .select(F.explode("embedding")).collect()]
+    return SIM.lsh_topk(e, query, k=10, bits=8)
+
+
+def _q_simhash_groups(spark, sf):
+    # rows-only: relies on Spark 64-bit arithmetic specifics
+    return DT.simhash_dup_groups(_t(spark, sf, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "frontier_topk_per_host": _q_frontier_topk_per_host,
+        "dedup_last_writer_wins": _q_dedup_last_writer_wins,
+        "seen_set_anti_join": _q_seen_set_anti_join,
+        "semi_join_active": _q_semi_join_active,
+        "broadcast_dim_join": _q_broadcast_dim_join,
+        "fanout_rejoin": _q_fanout_rejoin,
+        "wave_priority_dequeue": _q_wave_priority_dequeue,
+        "md5_dedup_key": _q_md5_dedup_key,
+        "union_keys": _q_union_keys,
+        "explode_tokens": _q_explode_tokens,
+        "regex_digits": _q_regex_digits,
+        "date_format_day": _q_date_format_day,
+        "enum_decode": _q_enum_decode,
+        "term_concat_none": _q_term_concat_none,
+        "events_daily": _q_events_daily,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "rollup_region_nation": _q_rollup_region_nation,
+        "count_distinct_users": _q_count_distinct_users,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_fingerprint_dups": _q_text_fingerprint_dups,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "sim_brute_topk": _q_sim_brute_topk,
+        "sim_label_centroid_topk": _q_sim_label_centroid_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "simhash_groups": _q_simhash_groups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES_SQL = f"""
+    WITH norm AS (
+        SELECT doc_id, {_NORM_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               substring(t, CAST(pos AS INTEGER), {_SHINGLE_K}) AS shingle
+        FROM (SELECT doc_id, t,
+                     unnest(range(1, length(t) - {_SHINGLE_K - 2})) AS pos
+              FROM norm WHERE length(t) >= {_SHINGLE_K})
+    )
+"""
+
+_MINHASH_SIG_SQL = _SHINGLES_SQL + ", sig AS (SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASHES)
+) + " FROM sh GROUP BY doc_id)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rows_per_band = _MINHASHES // _BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)))
+        for b in range(_BANDS))
+    return {
+        "frontier_topk_per_host": """
+            SELECT event_type, event_id, rk FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rk
+                FROM events) WHERE rk <= 3
+        """,
+        "dedup_last_writer_wins": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate DESC,
+                                                   o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "seen_set_anti_join": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join_active": """
+            SELECT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000)
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "fanout_rejoin": """
+            SELECT o_orderkey, o_orderpriority, n_items, sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, count(*) AS n_items,
+                         round(sum(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey) li
+              ON o.o_orderkey = li.l_orderkey
+        """,
+        "wave_priority_dequeue": """
+            SELECT o_orderpriority, o_orderkey, rk FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rk
+                FROM orders) WHERE rk <= 5
+        """,
+        "md5_dedup_key": f"""
+            SELECT count(DISTINCT md5({_NORM_SQL})) AS n_keys FROM documents
+        """,
+        "union_keys": """
+            SELECT count(*) AS n_keys FROM (
+                SELECT c_custkey AS k FROM customer
+                UNION SELECT s_suppkey FROM supplier)
+        """,
+        "explode_tokens": """
+            SELECT lang, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct_tokens
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0 GROUP BY lang
+        """,
+        "regex_digits": """
+            SELECT c_custkey,
+                   regexp_replace(c_name, '[^0-9]', '', 'g') AS digits
+            FROM customer
+        """,
+        "date_format_day": """
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   count(*) AS n_orders
+            FROM orders GROUP BY day
+        """,
+        "enum_decode": """
+            SELECT CASE WHEN l_returnflag = 'R' THEN '退货'
+                        WHEN l_returnflag = 'A' THEN '认可'
+                        ELSE '正常' END AS label,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY label
+        """,
+        "term_concat_none": """
+            SELECT coalesce(nullif(p_brand, 'Brand#13'), 'None') || '-' ||
+                   coalesce(nullif(p_type, 'ECONOMY'), 'None') AS term,
+                   count(*) AS n_parts
+            FROM part GROUP BY term
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, day
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q5ish": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
+        """,
+        "rollup_region_nation": """
+            SELECT r_name, n_name, count(*) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "count_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0)) AS n_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS toks,
+                       length(text) AS n,
+                       length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\\[\\]{}]', '', 'g')) AS punct,
+                       length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g')) AS digits
+                FROM documents)
+            SELECT doc_id,
+                   round(least(toks / 64.0, 1.0)
+                         * greatest(0.0, 1.0 - CASE WHEN n > 0
+                               THEN punct * 1.0 / n ELSE 0 END * 4)
+                         * greatest(0.0, 1.0 - CASE WHEN n > 0
+                               THEN digits * 1.0 / n ELSE 0 END * 4), 6)
+                       AS quality
+            FROM t
+        """,
+        "text_fingerprint_dups": f"""
+            SELECT substring(md5({_NORM_SQL}), 1, 16) AS fp,
+                   count(*) AS n_docs
+            FROM documents GROUP BY fp HAVING count(*) > 1
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM_SQL}) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY digest
+        """,
+        "minhash_signatures":
+            _MINHASH_SIG_SQL + " SELECT * FROM sig",
+        "minhash_lsh_pairs":
+            _MINHASH_SIG_SQL + f""", banded AS ({band_selects})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": _SHINGLES_SQL + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+            , ok AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 1000)
+            , shf AS (SELECT sh.* FROM sh JOIN ok USING (shingle))
+            , inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM shf a JOIN shf b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_common * 1.0 /
+                         (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "sim_brute_topk": """
+            WITH q AS (SELECT list_transform(embedding,
+                                x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(list_dot_product(
+                        list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * 1000)), qv)
+                        AS BIGINT) AS dot
+            FROM embeddings, q
+            ORDER BY dot DESC, vec_id LIMIT 10
+        """,
+        # sim_label_centroid_topk / ann_lsh_topk / simhash_groups:
+        # intentionally no SQL oracle (float reduction order) -> rows-only
+    }

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Benchmark: headline query suite at $SPARK_GRAFT_SF_DIR plus the crawl
+engine's two-parallelism scaling run (N vs 4N cores on the same input — the
+in-sandbox evidence for the north_rule's N->4N executor scaling gate).
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "crawl": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  BENCH_CRAWL_COMPANIES default 320 (synthetic web size for the crawl bench)
+  BENCH_SKIP_CRAWL=1    skip the crawl scaling runs (query suite only)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from new_ent_crawler_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "tpch_q5ish", "frontier_topk_per_host",
+    "dedup_last_writer_wins", "seen_set_anti_join", "broadcast_dim_join",
+    "fanout_rejoin", "wave_priority_dequeue", "explode_tokens",
+    "events_daily", "dedup_exact", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "sim_brute_topk", "ann_lsh_topk",
+    "text_quality", "text_token_count", "simhash_groups",
+]
+
+
+def _exec(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _exec(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def _bench_web(companies: int) -> str:
+    """Deterministic synthetic web for the crawl bench, cached on disk."""
+    from new_ent_crawler_spark.synth import webgen
+    n_hosts = 16
+    per_host = max(1, companies // n_hosts)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH", f"webdata_h{n_hosts}_c{per_host}")
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        webgen.generate(out, n_hosts=n_hosts, companies_per_host=per_host,
+                        seed=42)
+    return out
+
+
+def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.plans.wave import WaveEngine
+    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus)
+    work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", f"work_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    eng = WaveEngine(spark, web_dir, work, per_host_k=400, max_waves=40,
+                     expected_total_urls=2_000_000, salt_buckets=16)
+    t0 = time.perf_counter()
+    stats = eng.run(resume=False)
+    elapsed = time.perf_counter() - t0
+    n_parsed = (eng.extracted().count())
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return {"cpus": cpus, "seconds": round(elapsed, 2),
+            "urls_parsed": n_parsed, "waves": len(stats),
+            "urls_per_sec": round(n_parsed / elapsed, 1)}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app="bench-queries", cpus=cpus)
+    t0 = time.perf_counter()
+    qtimes = run_queries(spark, sf_dir)
+    total = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    out = {"metric": "suite_seconds", "value": total, "unit": "sec",
+           "queries": qtimes, "sf": sf}
+
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "320"))
+        web_dir = _bench_web(companies)
+        low = run_crawl(max(cpus // 4, 2), web_dir, "n")
+        high = run_crawl(cpus, web_dir, "4n")
+        eff = round((low["seconds"] / high["seconds"]) / 4.0, 3) \
+            if high["seconds"] > 0 else None
+        out["crawl"] = {"n_cores": low, "4n_cores": high,
+                        "scaling_efficiency": eff,
+                        "note": "efficiency = (T_N / T_4N) / 4; 1.0 = ideal"}
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Text-analysis column functions for the ``documents`` table.
+
+All JVM-side ``pyspark.sql.functions`` expressions (whole-stage codegen; no
+Python in the hot path): language-ID heuristic, quality scoring, token
+counting, and document fingerprinting.  Each has an exact ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` (DuckDB), which is why the building blocks
+are limited to portable primitives (regexp, length, md5, ascii)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(col) -> Column:
+    """Whitespace-delimited token count (0 for empty/blank)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))).cast("long")
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish token estimate: count of word/number/punct chunks."""
+    c = F.col(col) if isinstance(col, str) else col
+    # strip everything that is part of a word chunk, count the residue diff
+    words = F.size(F.split(F.trim(c), r"[^A-Za-z0-9]+"))
+    return F.greatest(words, F.lit(0)).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def upper_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    upper = n - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return F.when(n > 0, upper.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def digit_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digit = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digit.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def mean_word_length(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    toks = token_count(c)
+    return F.when(toks > 0, n_alpha.cast("double") / toks.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: long-enough docs with moderate
+    punctuation/digit density score high (Gopher-rule style)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = token_count(c).cast("double")
+    len_score = F.least(toks / F.lit(64.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(c) * 4)
+    return F.round(len_score * punct_pen * digit_pen, 6)
+
+
+def lang_id(col) -> Column:
+    """Tiny heuristic language ID over {zh, en, unknown}: CJK char presence
+    beats ASCII stopword density."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    cjk = n - F.length(F.regexp_replace(c, r"[一-龥]", ""))
+    en_stop = F.size(F.split(F.lower(c), r"\b(the|and|of|to|is|in)\b")) - 1
+    return (F.when(n == 0, F.lit("unknown"))
+            .when(cjk.cast("double") / n.cast("double") > 0.05, F.lit("zh"))
+            .when(en_stop >= 2, F.lit("en"))
+            .otherwise(F.lit("unknown")))
+
+
+def fingerprint(col) -> Column:
+    """Deterministic 64-bit-ish content fingerprint: md5 of the
+    whitespace-normalized lowercase text, first 16 hex chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.substring(F.md5(normalized), 1, 16)

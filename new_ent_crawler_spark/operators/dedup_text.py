@@ -1,0 +1,165 @@
+"""Document deduplication family for training-data pipelines.
+
+Four strategies over ``documents(doc_id, text, ...)``, each shaped for the
+100 TB case:
+
+* exact        — hash-groupBy on a normalized content digest (one shuffle,
+                 map-side partial agg).
+* ngram-jaccard— character-shingle explode → shingle-join → group: the
+                 classic O(pairs-sharing-a-shingle) candidate join, pruned by
+                 frequent-shingle removal.
+* minhash-LSH  — shingle → K minhashes → band buckets → bucket self-join;
+                 only same-bucket pairs are compared, so the join blows up
+                 with collisions, not n².
+* simhash      — 64-bit majority-vote fingerprint; near-dups = equal
+                 fingerprints on rotated band keys (Hamming ≤ k by banding).
+
+Hash functions are md5-derived so the DuckDB oracle can reproduce the exact
+same signatures in ANSI SQL (md5 is the one hash both engines share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col="text"):
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Keep the smallest id per identical normalized text.  groupBy(md5)
+    shuffles only (digest, id) — column-pruned and partially aggregated
+    map-side."""
+    return (docs
+            .select(F.col(id_col), F.md5(normalized_text(text_col)).alias("digest"))
+            .groupBy("digest")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def shingles(docs: DataFrame, id_col="doc_id", text_col="text",
+             k: int = 8) -> DataFrame:
+    """Distinct character k-shingles per document (explode over positions)."""
+    norm = normalized_text(text_col)
+    return (docs
+            .select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+            .filter(F.length("t") >= k)
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.lit(1), F.length("t") - F.lit(k - 1))).alias("pos"),
+                    F.col("t"))
+            .select("doc_id",
+                    F.substring("t", F.col("pos").cast("int"), k)
+                    .alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int = 1000) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over k-shingles.
+
+    Candidate generation is the shingle self-join; shingles shared by more
+    than ``max_shingle_freq`` docs are dropped first (they would square the
+    join) — the standard frequency cut, logged in the plan as a broadcast
+    filter.
+    """
+    sh = shingles(docs, k=k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq_ok = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") <= max_shingle_freq)
+               .select("shingle"))
+    sh_f = sh.join(freq_ok, "shingle")
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _hash64(col, seed: int):
+    """Portable 64-bit hash: first 16 hex chars of md5(seed || value).
+    Reproducible in DuckDB SQL."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col)),
+                              1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8,
+                       num_hashes: int = 16) -> DataFrame:
+    """(doc_id, h0..h{n-1}) minhash signature via md5-salted min-hashes."""
+    sh = shingles(docs, k=k)
+    aggs = [F.min(_hash64(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: equal band-key in any band.
+
+    rows_per_band = num_hashes/bands; the band key is the md5 of the band's
+    concatenated minhashes, so bucket join keys are short strings.
+    """
+    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes).persist()
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select("doc_id",
+                       F.lit(b).alias("band"),
+                       F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionByName(fr)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+
+
+def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-derived token hashes — explode + groupBy, all JVM-side."""
+    toks = (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(normalized_text(text_col), " "))
+                    .alias("tok"))
+            .filter(F.length("tok") > 0))
+    h = _hash64(F.col("tok"), 0)
+    bit_cols = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(60)]
+    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    acc = F.lit(0).cast("long")
+    for i in range(60):
+        acc = acc + F.when(F.col(f"b{i}") > 0,
+                           F.lit(2 ** i).cast("long")).otherwise(F.lit(0))
+    return votes.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact-simhash collision groups (Hamming-0 near-dups; banding for
+    Hamming<=k splits `simhash` into band keys the same way as minhash)."""
+    return (simhash(docs).groupBy("simhash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))

@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Single place for the configs that matter at 100 TB: AQE (runtime re-plan +
+skew-join splitting), Arrow for the parse UDFs, pinned session timezone
+(byte-identity of date formatting, SURVEY.md §1.2), and shuffle-partition
+sizing.  Tests/bench call ``get_spark(cpus=...)`` to compare parallelism
+levels on the same input (the N vs 4N scaling evidence)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "new-ent-crawler-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x cores keeps all slots busy without tiny-partition overhead at
+        # test scale; on a real cluster this is sized from input bytes /
+        # target partition size and AQE coalesces the rest.
+        shuffle_partitions = max(cpus * 2, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.session.timeZone", "Asia/Shanghai")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark():
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,109 @@
+"""Snapshot-table storage: an Iceberg-style table contract on plain parquet.
+
+The north rule calls for Iceberg tables with snapshot checkpoints; the
+sandbox has no Iceberg runtime jar, so this module implements the same
+*contract* — append / overwrite / atomic snapshot commit / time-travel-to-
+last-committed — as a directory of immutable parquet data dirs plus a JSON
+manifest (SURVEY.md §7.0).  Each snapshot lists the data dirs it comprises,
+so ``append`` is O(new data) like an Iceberg fast-append (no rewrite), and
+``overwrite`` is a copy-on-write replace like an Iceberg MERGE rewrite.
+Manifest writes are tmp+rename, so a crash mid-wave leaves the previous
+snapshot current and the engine resumes from it (checkpoint/resume
+requirement of BASELINE.json ``north_rule``).
+
+On a real cluster this class is swapped for ``df.writeTo(...)`` /
+``MERGE INTO`` against an Iceberg catalog; the wave engine only uses this
+narrow interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": [], "current": None}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict):
+        tmp = self._manifest_path + ".tmp." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot commit
+
+    def current_snapshot(self) -> dict | None:
+        m = self._read_manifest()
+        if m["current"] is None:
+            return None
+        return next(s for s in m["snapshots"] if s["id"] == m["current"])
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame) -> str:
+        data_dir = "data-" + uuid.uuid4().hex[:12]
+        df.write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+        return data_dir
+
+    def _new_snapshot(self, dirs: list[str], meta: dict | None) -> dict:
+        m = self._read_manifest()
+        snap_id = (m["current"] or 0) + 1
+        snap = {"id": snap_id, "dirs": dirs, "meta": meta or {}}
+        m["snapshots"].append(snap)
+        m["current"] = snap_id
+        self._commit(m)
+        return snap
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> dict:
+        """Fast-append: new data dir + manifest entry; no rewrite."""
+        new_dir = self._write_data(df)
+        cur = self.current_snapshot()
+        dirs = (cur["dirs"] if cur else []) + [new_dir]
+        return self._new_snapshot(dirs, meta)
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> dict:
+        """Copy-on-write replace (the stand-in for MERGE INTO rewrites)."""
+        new_dir = self._write_data(df)
+        return self._new_snapshot([new_dir], meta)
+
+    def rollback_to(self, snap_id: int):
+        m = self._read_manifest()
+        if any(s["id"] == snap_id for s in m["snapshots"]):
+            m["current"] = snap_id
+            self._commit(m)
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        cur = self.current_snapshot()
+        if cur is None or not cur["dirs"]:
+            raise ValueError(f"table {self.path} has no current snapshot")
+        paths = [os.path.join(self.path, d) for d in cur["dirs"]]
+        return spark.read.parquet(*paths)
+
+    def meta(self) -> dict:
+        cur = self.current_snapshot()
+        return cur["meta"] if cur else {}
+
+    def drop(self):
+        shutil.rmtree(self.path, ignore_errors=True)

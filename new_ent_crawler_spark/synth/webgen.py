@@ -396,7 +396,7 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
         "host": pa.array(hosts, pa.string()),
         "disallow": pa.array([["/private/", "/admin/"] for _ in hosts],
                              pa.list_(pa.string())),
-        "crawl_delay": pa.array([1.0 + (i % 3) for i in range(n_hosts)],
+        "crawl_delay": pa.array([1.0 + (i % 3) / 4.0 for i in range(n_hosts)],
                                 pa.float64()),
     })
     pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))

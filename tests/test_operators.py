@@ -1,0 +1,117 @@
+"""Operator-level property tests (SURVEY.md §5.4): budget bounds, skewed
+top-K equivalence, Bloom-prune invariance, dedup idempotence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from new_ent_crawler_spark.operators import dedup as DD
+from new_ent_crawler_spark.operators import frontier as FR
+from new_ent_crawler_spark.operators import politeness as PL
+
+
+@pytest.fixture(scope="module")
+def frontier_df(spark):
+    rows = []
+    for i in range(300):
+        host = f"h{i % 3}.example"
+        rows.append((f"http://{host}/p{i}.html", host, None, i % 7,
+                     f"kw{i % 7}", i % 4, i % 3, i % 2, 0, 0, i % 5))
+    return spark.createDataFrame(rows, FR.FRONTIER_SCHEMA)
+
+
+def _grants(spark, k):
+    return spark.createDataFrame(
+        [(f"h{i}.example", k) for i in range(3)], "host string, grant int")
+
+
+def test_dequeue_respects_budget(spark, frontier_df):
+    claimed = FR.dequeue(frontier_df, _grants(spark, 5))
+    per_host = {r.host: r.cnt for r in
+                claimed.groupBy("host").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v <= 5 for v in per_host.values())
+    assert sum(per_host.values()) == 15
+
+
+def test_salted_topk_equals_naive(spark, frontier_df):
+    """Two-phase salted top-K == single-window top-K (any salt_buckets)."""
+    def urls(df):
+        return sorted(r.url for r in df.select("url").collect())
+    naive = urls(FR.dequeue(frontier_df, _grants(spark, 7), salt_buckets=1))
+    for s in (4, 16):
+        assert urls(FR.dequeue(frontier_df, _grants(spark, 7),
+                               salt_buckets=s)) == naive
+
+
+def test_dequeue_priority_order(spark, frontier_df):
+    claimed = FR.dequeue(frontier_df, _grants(spark, 3))
+    for r in claimed.collect():
+        assert r.priority == 1  # highest lane drained first
+
+
+def test_bloom_prune_never_changes_result(spark):
+    seen = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(500)], "url string")
+    cand = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(400, 900)], "url string")
+    exact = sorted(r.url for r in
+                   cand.join(seen, "url", "left_anti").collect())
+    bloom = DD.build_bloom(seen, expected=500, fpp=0.05)
+    pruned = sorted(r.url for r in
+                    DD.filter_new_urls(cand, seen, bloom).collect())
+    assert pruned == exact
+
+
+def test_bloom_no_false_negatives():
+    bf = DD.BloomFilter.sized(1000, 0.01)
+    keys = [f"k{i}" for i in range(1000)]
+    for k in keys:
+        bf.add(k)
+    assert all(bf.might_contain(k) for k in keys)
+    fp = sum(bf.might_contain(f"other{i}") for i in range(2000)) / 2000
+    assert fp < 0.05
+
+
+def test_bloom_merge_is_union():
+    a = DD.BloomFilter.sized(100, 0.01)
+    b = DD.BloomFilter(a.n_bits, a.n_hashes)
+    a.add("x")
+    b.add("y")
+    a.merge(b)
+    assert a.might_contain("x") and a.might_contain("y")
+
+
+def test_token_bucket_spend_refill(spark):
+    robots = spark.createDataFrame(
+        [("h0", ["/private/"], 1.0), ("h1", ["/private/"], 2.0)],
+        "host string, disallow array<string>, crawl_delay double")
+    budgets = PL.init_budgets(robots, per_wave_k=4)
+    g0 = {r.host: r.grant for r in PL.wave_grants(budgets).collect()}
+    assert g0 == {"h0": 4, "h1": 4}
+    used = spark.createDataFrame([("h0",)] * 4 + [("h1",)] * 4, "host string")
+    b1 = PL.spend_and_refill(budgets, used)
+    g1 = {r.host: r.grant for r in PL.wave_grants(b1).collect()}
+    assert g1 == {"h0": 4, "h1": 2}  # h1 is a slow host (crawl_delay 2)
+    blocked = spark.createDataFrame([("h0",)], "host string")
+    b2 = PL.spend_and_refill(b1, used.limit(0), blocked)
+    g2 = {r.host: r.grant for r in PL.wave_grants(b2).collect()}
+    assert g2["h0"] == 0  # cool-down
+
+
+def test_robots_filter(spark):
+    robots = spark.createDataFrame(
+        [("h0", ["/private/"], 1.0)],
+        "host string, disallow array<string>, crawl_delay double")
+    df = spark.createDataFrame(
+        [("http://h0/private/x.html", "h0"), ("http://h0/ok.html", "h0")],
+        "url string, host string")
+    out = [r.url for r in PL.robots_allowed(df, robots).collect()]
+    assert out == ["http://h0/ok.html"]
+
+
+def test_dedup_last_writer_wins(spark):
+    df = spark.createDataFrame(
+        [("a", "u1", 1), ("a", "u2", 5), ("b", "u3", 2)],
+        "key string, url string, ts int")
+    out = {r.key: r.url for r in
+           DD.dedup_last_writer_wins(df, ["key"], "ts").collect()}
+    assert out == {"a": "u2", "b": "u3"}

@@ -1,0 +1,71 @@
+"""Driver-contract check: every queries() entry matches its DuckDB oracle
+(row count + sorted-column value multiset), mirroring the harness compare."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    assert len(srows) == len(drows)
+    got = _normalize(srows, scols)
+    want = _normalize(drows, dcols)
+    mismatches = [(g, w) for g, w in zip(got, want) if g != w][:5]
+    assert got == want, mismatches
+
+
+def test_rows_only_queries_run(spark):
+    names = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    assert names  # the weaker-check entries exist and are intentional
+    for name in sorted(names):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["lang", "source", "n_unique_docs",
+                          "n_dupes_removed", "avg_chars"]
