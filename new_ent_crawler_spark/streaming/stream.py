@@ -1,0 +1,88 @@
+"""Structured Streaming front-end for the crawl pipeline.
+
+The north_star frames each wave as a "Structured-Streaming-style micro-
+batch"; the batch WaveEngine is the primary implementation (snapshot
+checkpoints make it resumable and benchmarkable), and this module provides
+the genuine ``readStream`` variant for continuous operation: seed files (or
+frontier appends) land in a directory, a file-source stream picks them up,
+and ``foreachBatch`` funnels every micro-batch through the same wave logic —
+fetch join, Arrow parse, dedup, lineage — so the two entry points share one
+code path (the reference's dispatcher poll loop, dispatcher/dispatcher.py:35,
+becomes the stream trigger interval).
+
+Also includes a watermarked windowed aggregation over crawl lineage — the
+streaming metrics the reference kept as ``crawler_log`` rows
+(utils/MysqlDBHelper.py:108-119).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import frontier as FR
+from ..operators import parse as PS
+
+
+def stream_seeds(spark: SparkSession, seed_dir: str,
+                 seeds_schema: str = ("keyword string, host string, "
+                                      "priority int, seed_id long, "
+                                      "seed_url string")) -> DataFrame:
+    """File-source stream of seed batches (new parquet files = new seeds)."""
+    return (spark.readStream.schema(seeds_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(seed_dir))
+
+
+def crawl_stream(spark: SparkSession, seed_dir: str, pages_path: str,
+                 out_dir: str, checkpoint_dir: str,
+                 trigger_seconds: int = 10):
+    """Continuous crawl of newly-arriving seed listings.
+
+    Each micro-batch: seeds -> frontier rows -> fetch join against pages ->
+    Arrow parse -> extracted rows appended to ``out_dir``.  Link discovery
+    feeds a side output that an outer wave loop (or a second stream) drains —
+    Structured Streaming cannot cycle a stream into its own source, which is
+    exactly why the batch WaveEngine owns the full frontier loop.
+    """
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    seeds = stream_seeds(spark, seed_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        claimed = FR.init_frontier(batch_df)
+        fetched = claimed.join(F.broadcast(
+            pages.join(F.broadcast(claimed.select("url")), "url", "inner")),
+            "url", "left")
+        parsed = PS.parse_pages(fetched)
+        (parsed.withColumn("wave_id", F.lit(batch_id).cast("long"))
+         .drop("links")
+         .write.mode("append").parquet(os.path.join(out_dir, "extracted")))
+        links = PS.discovered_links(parsed, wave_id=batch_id)
+        links.write.mode("append").parquet(os.path.join(out_dir, "discovered"))
+
+    return (seeds.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds"))
+
+
+def lineage_window_stream(spark: SparkSession, lineage_dir: str,
+                          window: str = "1 minute",
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window crawl metrics over streaming lineage rows
+    (urls/sec per window — the live counterpart of BENCH numbers)."""
+    schema = ("wave_id long, stage string, partition_id int, urls_in long, "
+              "urls_out long, dedup_hits long, ts timestamp")
+    rows = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(lineage_dir))
+    return (rows
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "stage")
+            .agg(F.sum("urls_in").alias("urls_in"),
+                 F.sum("urls_out").alias("urls_out"),
+                 F.sum("dedup_hits").alias("dedup_hits")))

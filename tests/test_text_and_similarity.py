@@ -1,0 +1,113 @@
+"""Text-analysis, dedup-family, similarity, and multimodal operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from new_ent_crawler_spark.functions import text as TX
+from new_ent_crawler_spark.operators import dedup_text as DT
+from new_ent_crawler_spark.operators import multimodal as MM
+from new_ent_crawler_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (4, "完全不同的中文文本内容在这里出现了", "zh"),
+        (5, "", "en"),
+        (6, "numbers 123 456 789 000 111 222 333 444", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in
+           docs.select("doc_id", TX.token_count("text").alias("n")).collect()}
+    assert got[1] == 9
+    assert got[5] == 0
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang for r in
+           docs.select("doc_id", TX.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "zh"
+    assert got[5] == "unknown"
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r.q for r in
+            docs.select(TX.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_exact_dedup(spark, docs):
+    out = DT.exact_dedup(docs).collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[1] == 2  # docs 1 and 2 collapse
+    assert by_keep[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = DT.ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = DT.minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    groups = DT.simhash_dup_groups(docs).collect()
+    assert any(r.n_docs >= 2 and r.keep_id == 1 for r in groups)
+
+
+def test_brute_force_topk(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((10, [1.0, 0.01, 0.0, 0.0]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = SIM.brute_force_topk(e, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+    assert top[1].vec_id == 10
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(sf + "/embeddings.parquet")
+    query = [r[0] for r in
+             e.filter("vec_id = 0").select(F.explode("embedding")).collect()]
+    brute = [r.vec_id for r in SIM.brute_force_topk(e, query, k=10).collect()]
+    ann = [r.vec_id for r in
+           SIM.lsh_topk(e, query, k=10, bits=4,
+                        multiprobe_hamming=1).collect()]
+    # near-orthogonal random vectors are LSH's worst case; still expect a
+    # meaningful fraction of the true top-10 from bucket+multiprobe
+    assert len(set(brute) & set(ann)) >= 3
+    assert brute[0] == 0  # the query vector itself is its own best match
+    assert ann[0] == 0
+
+
+def test_multimodal_features(spark, tiny_web):
+    web_dir, _ = tiny_web
+    pages = spark.read.parquet(web_dir + "/pages.parquet").limit(50)
+    media = MM.pages_as_media(pages)
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 8
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
