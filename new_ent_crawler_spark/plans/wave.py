@@ -49,7 +49,8 @@ class WaveEngine:
                  per_host_k: int = 4, max_waves: int = 64,
                  salt_buckets: int = 8, max_attempts: int = 3,
                  expected_total_urls: int = 1_000_000,
-                 bloom_fpp: float = 0.01, use_bloom: bool = True):
+                 bloom_fpp: float = 0.01, use_bloom: bool = True,
+                 cache_pages: bool = True):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -60,6 +61,10 @@ class WaveEngine:
         self.expected_total_urls = expected_total_urls
         self.bloom_fpp = bloom_fpp
         self.use_bloom = use_bloom
+        # caching the (url, html) projection avoids a parquet scan per wave;
+        # at 100 TB you would NOT cache — an Iceberg pages table bucketed by
+        # url lets the per-wave broadcast probe prune to claimed buckets
+        self.cache_pages = cache_pages
 
         self.frontier_t = SnapshotTable(os.path.join(work_dir, "frontier"))
         self.budgets_t = SnapshotTable(os.path.join(work_dir, "budgets"))
@@ -189,7 +194,9 @@ class WaveEngine:
             self._init_state()
         start = self.last_wave()
         self._rollback_appends(start)
-        pages = self.pages()
+        pages = self.pages().select("url", "html")
+        if self.cache_pages:
+            pages = pages.persist()
         all_stats = []
         for wave in range(start + 1, self.max_waves + 1):
             frontier = self.frontier_t.read(self.spark)
@@ -208,6 +215,8 @@ class WaveEngine:
                     PL.spend_and_refill(
                         budgets, budgets.select("host").limit(0)),
                     meta={"wave": wave})
+        if self.cache_pages:
+            pages.unpersist()
         return all_stats
 
     # -- outputs -------------------------------------------------------------
