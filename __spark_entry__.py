@@ -304,6 +304,76 @@ def _q_ngram_jaccard_pairs(spark, sf):
                                   k=_SHINGLE_K, threshold=0.5)
 
 
+def _q_json_extract(spark, sf):
+    """Section-JSON projection analogue (from_json over the props payload;
+    reference json.loads at parser/DetaiParser.py:747)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+def _q_collect_sorted(spark, sf):
+    """Pagination re-assembly analogue: collect rows per key in
+    deterministic page order (SURVEY.md §2.4 pagination accumulation)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_orderkey")
+            .agg(F.concat_ws(
+                ",", F.sort_array(F.collect_list(
+                    F.col("l_linenumber").cast("string")))).alias("lines")))
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the streaming-style stateful op expressed with windows."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess_id").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def _q_stats_per_type(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.round(F.stddev_samp("value"), 4).alias("std_value"),
+                 F.round(F.min("value"), 6).alias("min_value"),
+                 F.round(F.max("value"), 6).alias("max_value"),
+                 F.round(F.expr("percentile(value, 0.5)"), 6)
+                 .alias("median_value")))
+
+
+def _q_pivot_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    langs = ["en", "zh", "de", "fr", "es"]
+    return (d.groupBy("source")
+            .pivot("lang", langs)
+            .agg(F.count(F.lit(1)))
+            .select("source",
+                    *[F.coalesce(F.col(l), F.lit(0)).alias("n_" + l)
+                      for l in langs]))
+
+
+def _q_cube_type_lang(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.cube("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def _q_sim_brute_topk(spark, sf):
     """Integer-quantized dot-product top-10 vs the vec_id=0 query vector —
     quantization makes the score exact in both engines."""
@@ -370,6 +440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "json_extract_props": _q_json_extract,
+        "collect_sorted_lines": _q_collect_sorted,
+        "sessionize_users": _q_sessionize,
+        "stats_per_type": _q_stats_per_type,
+        "pivot_lang_counts": _q_pivot_lang,
+        "cube_type": _q_cube_type_lang,
         "sim_brute_topk": _q_sim_brute_topk,
         "sim_label_centroid_topk": _q_sim_label_centroid_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -598,7 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SHINGLES_SQL + """
             , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
             , ok AS (SELECT shingle FROM sh GROUP BY shingle
-                     HAVING count(*) <= 1000)
+                     HAVING count(*) <= 100)
             , shf AS (SELECT sh.* FROM sh JOIN ok USING (shingle))
             , inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -613,6 +689,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "json_extract_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "collect_sorted_lines": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sessionize_users": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM flagged)
+            SELECT user_id, max(sess_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "stats_per_type": """
+            SELECT event_type,
+                   round(avg(value), 4) AS avg_value,
+                   round(stddev_samp(value), 4) AS std_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   round(quantile_cont(value, 0.5), 6) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "pivot_lang_counts": """
+            SELECT source,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh,
+                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
+                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es
+            FROM documents GROUP BY source
+        """,
+        "cube_type": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY CUBE (event_type)
         """,
         "sim_brute_topk": """
             WITH q AS (SELECT list_transform(embedding,

@@ -10,7 +10,7 @@ Prints ONE JSON line:
 Env knobs:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS     default 32
-  BENCH_CRAWL_COMPANIES default 320 (synthetic web size for the crawl bench)
+  BENCH_CRAWL_COMPANIES default 960 (synthetic web size for the crawl bench)
   BENCH_SKIP_CRAWL=1    skip the crawl scaling runs (query suite only)
 """
 
@@ -68,7 +68,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     from pyspark.sql import functions as F
 
     from new_ent_crawler_spark.plans.wave import WaveEngine
-    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus)
+    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus, shuffle_partitions=64)
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
@@ -100,7 +100,7 @@ def main():
            "queries": qtimes, "sf": sf}
 
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "320"))
+        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "960"))
         web_dir = _bench_web(companies)
         low = run_crawl(max(cpus // 4, 2), web_dir, "n")
         high = run_crawl(cpus, web_dir, "4n")

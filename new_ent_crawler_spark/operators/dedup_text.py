@@ -58,7 +58,7 @@ def shingles(docs: DataFrame, id_col="doc_id", text_col="text",
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
                         threshold: float = 0.8,
-                        max_shingle_freq: int = 1000) -> DataFrame:
+                        max_shingle_freq: int = 100) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over k-shingles.
 
     Candidate generation is the shingle self-join; shingles shared by more

@@ -139,6 +139,13 @@ class WaveEngine:
                 .join(F.broadcast(claimed.select("url")), "url", "inner"))
         fetched = (claimed.join(F.broadcast(hits), "url", "left"))
 
+        # the probe output inherits the pages scan's partitioning (few input
+        # splits at small scale, claimed buckets at Iceberg scale); re-spread
+        # the claimed wave across all cores before the Arrow parse so the
+        # python workers see balanced batches
+        n_par = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        fetched = fetched.repartition(n_par, "url")
+
         parsed = PS.parse_pages(fetched).persist()
 
         # extracted text (judged bytes) + crawl-order log columns

@@ -33,7 +33,9 @@ def _norm_cell(v):
 
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed,
+                  key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
