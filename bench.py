@@ -56,11 +56,12 @@ def _bench_web(companies: int) -> str:
     from new_ent_crawler_spark.synth import webgen
     n_hosts = 16
     per_host = max(1, companies // n_hosts)
+    filler_kb = int(os.environ.get("BENCH_FILLER_KB", "24"))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH", f"webdata_h{n_hosts}_c{per_host}")
+                       "BENCH", f"webdata_h{n_hosts}_c{per_host}_f{filler_kb}")
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         webgen.generate(out, n_hosts=n_hosts, companies_per_host=per_host,
-                        seed=42)
+                        seed=42, filler_kb=filler_kb)
     return out
 
 
@@ -72,7 +73,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
-    eng = WaveEngine(spark, web_dir, work, per_host_k=400, max_waves=40,
+    eng = WaveEngine(spark, web_dir, work, per_host_k=1200, max_waves=40,
                      expected_total_urls=2_000_000, salt_buckets=16)
     t0 = time.perf_counter()
     stats = eng.run(resume=False)

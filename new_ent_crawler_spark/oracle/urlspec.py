@@ -132,6 +132,17 @@ def page_type_score(url):
     return SCORE_CHILD
 
 
+def analyze(url, content):
+    """Single-pass page analysis: (extracted_text, links).
+
+    Parses the payload once and derives both the golden per-URL text and the
+    out-links — the hot path of the engine's Arrow parse stage.  Equivalent
+    to (``extract_url_text(url, content)``, ``discover_links(url, content)``)
+    by construction (tested in tests/test_oracle.py).
+    """
+    return extract_url_text(url, content), discover_links(url, content)
+
+
 def _section_rows(kind, model, data):
     if kind in ("extract", "mortgage", "graph"):
         return [X.map_row(model, m) for m in data]

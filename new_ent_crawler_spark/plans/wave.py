@@ -119,16 +119,26 @@ class WaveEngine:
     # -- one micro-batch -----------------------------------------------------
 
     def run_wave(self, wave: int, pages: DataFrame) -> dict:
+        import time as _time
+        timings = {}
+
+        def _t(name, t0):
+            timings[name] = round(_time.perf_counter() - t0, 2)
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
         spark = self.spark
         frontier = self.frontier_t.read(spark)
         budgets = self.budgets_t.read(spark)
         self._ensure_bloom(frontier)
+        t0 = _t("read_state", t0)
 
         claimed = FR.dequeue(frontier, PL.wave_grants(budgets),
                              self.salt_buckets, self.max_attempts)
         claimed = claimed.persist()
         n_claimed = claimed.count()
-        stats = {"wave": wave, "claimed": n_claimed}
+        t0 = _t("dequeue", t0)
+        stats = {"wave": wave, "claimed": n_claimed, "timings": timings}
         if n_claimed == 0:
             claimed.unpersist()
             return stats
@@ -154,41 +164,60 @@ class WaveEngine:
                           "status", "text", *[c for c in ORDER_COLS if c != "url"])
             .withColumn("wave_id", F.lit(wave).cast("long")),
             meta={"wave": wave})
+        t0 = _t("parse_extract", t0)
 
         # discovered links -> robots gate -> seen-set subtraction
         candidates = PS.discovered_links(parsed, wave_id=wave)
         candidates = PL.robots_allowed(candidates, self.robots())
         candidates = candidates.persist()
         n_candidates = candidates.count()
+        t0 = _t("candidates", t0)
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
                                       self._bloom).persist()
         n_new = new_urls.count()
+        t0 = _t("dedup", t0)
 
         # lineage (per-partition parse counters + wave dedup counters)
         self.lineage_t.append(
             LN.parse_lineage(parsed, wave).unionByName(
-                LN.dedup_lineage(spark, wave, n_candidates, n_new)),
+                LN.dedup_lineage(spark, wave, n_candidates, n_new))
+            .coalesce(1),
             meta={"wave": wave})
 
+        t0 = _t("lineage", t0)
         # budgets: spend claims, refill, cool down blocked hosts
         blocked = parsed.filter(F.col("blocked")).select("host")
         self.budgets_t.overwrite(
-            PL.spend_and_refill(budgets, claimed.select("host"), blocked),
+            PL.spend_and_refill(budgets, claimed.select("host"), blocked)
+            .coalesce(1),
             meta={"wave": wave})
 
+        t0 = _t("budgets", t0)
         # MERGE statuses + append new pending rows; frontier commit is the
         # wave's atomic commit point
         updates = parsed.select("url", "status")
         merged = FR.merge_status(frontier, updates)
         new_rows = new_urls.select(*FR.FRONTIER_COLS)
-        self.frontier_t.overwrite(merged.unionByName(new_rows),
+        # keep the frontier in a handful of files: small snapshots re-read
+        # every wave; Iceberg would compact via bin-packing instead
+        self.frontier_t.overwrite(merged.unionByName(new_rows).coalesce(16),
                                   meta={"wave": wave})
 
+        t0 = _t("frontier_merge", t0)
         if self._bloom is not None and n_new > 0:
-            self._bloom = self._bloom.merge(DD.build_bloom(
-                new_urls.select("url"), expected=self.expected_total_urls,
-                fpp=self.bloom_fpp))
+            # incremental seen-set update: a wave's new URLs are bounded by
+            # the politeness budgets, so small waves add hashes driver-side
+            # (one collect of short strings); huge waves fall back to the
+            # distributed treeAggregate build + merge
+            if n_new <= 200_000:
+                for row in new_urls.select("url").collect():
+                    self._bloom.add(row[0])
+            else:
+                self._bloom = self._bloom.merge(DD.build_bloom(
+                    new_urls.select("url"),
+                    expected=self.expected_total_urls, fpp=self.bloom_fpp))
 
+        t0 = _t("bloom_merge", t0)
         stats.update({"candidates": n_candidates, "new": n_new})
         claimed.unpersist()
         parsed.unpersist()

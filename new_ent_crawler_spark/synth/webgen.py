@@ -126,12 +126,51 @@ def _paged_payloads(rows, page_size, total_page):
     return pages
 
 
+_FILLER_BLOB = None
+
+
+def _filler_blob() -> str:
+    """1 MiB deterministic alphanumeric blob (safe: cannot contain HTML tags,
+    anchors, ``var``+url patterns, or the zero-results marker)."""
+    global _FILLER_BLOB
+    if _FILLER_BLOB is None:
+        rnd = random.Random("filler:42")
+        chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+        _FILLER_BLOB = "".join(rnd.choices(chars, k=1 << 20))
+    return _FILLER_BLOB
+
+
+def _filler(url: str, n_bytes: int) -> str:
+    if n_bytes <= 0:
+        return ""
+    blob = _filler_blob()
+    off = int(hashlib.md5(("f:" + url).encode()).hexdigest()[:8], 16)         % (len(blob) - n_bytes - 1)
+    return blob[off:off + n_bytes]
+
+
 class _Web:
-    def __init__(self):
+    """Accumulates pages; ``filler_kb`` pads pages to Common-Crawl-realistic
+    sizes (HTML gets the full pad as a boilerplate paragraph, JSON payloads
+    half of it as a ``_noise`` member) without changing what the reference
+    parser extracts."""
+
+    def __init__(self, filler_kb: int = 0):
         self.pages = {}  # absolute url -> html text
+        self.filler_kb = filler_kb
 
     def put(self, host, rel_or_abs, content):
         url = U.canonicalize(rel_or_abs, host)
+        if self.filler_kb > 0:
+            if content.lstrip().startswith(("{", "[")):
+                pad = _filler(url, self.filler_kb * 512)
+                if content.startswith("{") and content != "{}":
+                    content = '{"_noise": "%s", %s' % (pad, content[1:])
+                elif content.startswith("[") and content != "[]":
+                    content = '[{"_noise": "%s"}, %s' % (pad, content[1:])
+            else:
+                pad = "<p class=\"boilerplate\">%s</p>" % _filler(
+                    url, self.filler_kb * 1024)
+                content = content.replace("</body>", pad + "</body>")                     if "</body>" in content else content + pad
         self.pages[url] = content
 
 
@@ -321,14 +360,15 @@ def _listing_html(name: str, cid: str, outcome: str, rnd: random.Random) -> str:
 def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
              seed: int = 42, skew_host_factor: int = 1,
              p_not_found: float = 0.08, p_empty: float = 0.04,
-             p_broken_vars: float = 0.03, p_missing_section: float = 0.0):
+             p_broken_vars: float = 0.03, p_missing_section: float = 0.0,
+             filler_kb: int = 0):
     """Generate pages/seeds/robots parquet under ``out_dir``.
 
     ``skew_host_factor`` > 1 multiplies host 0's company count (the
     registry-domain skew test, FIXTURES.md §A1).
     """
     os.makedirs(out_dir, exist_ok=True)
-    web = _Web()
+    web = _Web(filler_kb=filler_kb)
     seeds = []
     seed_id = 0
     for i in range(n_hosts):

@@ -115,3 +115,26 @@ def test_oracle_assembles_companies(tiny_web):
                 # round-trip through json is stable
                 assert json.loads(json.dumps(info)) == info
     assert n_assembled > 0
+
+
+def test_analyze_equals_pair(tiny_web):
+    out, _ = tiny_web
+    t = pq.read_table(out + "/pages.parquet", columns=["url", "html"]).to_pylist()
+    for row in t[:100]:
+        content = row["html"].decode("utf-8")
+        text, links = U.analyze(row["url"], content)
+        assert text == U.extract_url_text(row["url"], content)
+        assert links == U.discover_links(row["url"], content)
+
+
+def test_padded_web_goldens(tmp_path):
+    """Common-Crawl-realistic page sizes don't change extraction semantics."""
+    out = str(tmp_path / "padded")
+    webgen.generate(out, n_hosts=2, companies_per_host=2, seed=9,
+                    filler_kb=16)
+    t = pq.read_table(out + "/pages.parquet",
+                      columns=["url", "html", "text"]).to_pylist()
+    assert min(len(r["html"]) for r in t) >= 4000
+    for row in t:
+        assert U.extract_url_text(
+            row["url"], row["html"].decode("utf-8")) == row["text"]
