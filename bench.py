@@ -54,7 +54,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 def _bench_web(companies: int) -> str:
     """Deterministic synthetic web for the crawl bench, cached on disk."""
     from new_ent_crawler_spark.synth import webgen
-    n_hosts = 16
+    n_hosts = int(os.environ.get("BENCH_HOSTS", "64"))
     per_host = max(1, companies // n_hosts)
     filler_kb = int(os.environ.get("BENCH_FILLER_KB", "24"))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -101,7 +101,7 @@ def main():
            "queries": qtimes, "sf": sf}
 
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "960"))
+        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "9600"))
         web_dir = _bench_web(companies)
         low = run_crawl(max(cpus // 4, 2), web_dir, "n")
         high = run_crawl(cpus, web_dir, "4n")

@@ -26,9 +26,14 @@ def parse_lineage(parsed: DataFrame, wave_id: int) -> DataFrame:
 
 
 def dedup_lineage(spark, wave_id: int, candidates: int, survivors: int) -> DataFrame:
-    return spark.createDataFrame(
-        [(wave_id, "dedup", -1, candidates, survivors,
-          candidates - survivors)],
-        "wave_id long, stage string, partition_id int, urls_in long, "
-        "urls_out long, dedup_hits long",
-    ).withColumn("ts", F.current_timestamp())
+    # spark.range + literals instead of createDataFrame: a local-python
+    # relation unioned into a distributed plan costs seconds per wave in
+    # Arrow conversion; this stays entirely JVM-side
+    return spark.range(1).select(
+        F.lit(wave_id).cast("long").alias("wave_id"),
+        F.lit("dedup").alias("stage"),
+        F.lit(-1).cast("int").alias("partition_id"),
+        F.lit(candidates).cast("long").alias("urls_in"),
+        F.lit(survivors).cast("long").alias("urls_out"),
+        F.lit(candidates - survivors).cast("long").alias("dedup_hits"),
+        F.current_timestamp().alias("ts"))

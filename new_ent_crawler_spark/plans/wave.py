@@ -143,17 +143,24 @@ class WaveEngine:
             claimed.unpersist()
             return stats
 
-        # fetch = broadcast-hash probe of the big pages scan; misses become
-        # error rows (retry budget via crawler_count, SURVEY.md §2.6)
+        # fetch = broadcast-hash probe of the big pages scan: the *claimed*
+        # rows (small: bounded by politeness budgets) are the broadcast build
+        # side; the html payloads stay distributed on the pages side — never
+        # broadcast page bytes.  Fetch misses become error rows via a second,
+        # url-only anti-join (retry budget via crawler_count, SURVEY.md §2.6)
         hits = (pages.select("url", "html")
-                .join(F.broadcast(claimed.select("url")), "url", "inner"))
-        fetched = (claimed.join(F.broadcast(hits), "url", "left"))
+                .join(F.broadcast(claimed), "url", "inner"))
+        missing = (claimed
+                   .join(F.broadcast(hits.select("url")), "url", "left_anti")
+                   .withColumn("html", F.lit(None).cast("binary")))
+        fetched = hits.unionByName(missing.select(*hits.columns))
 
         # the probe output inherits the pages scan's partitioning (few input
         # splits at small scale, claimed buckets at Iceberg scale); re-spread
         # the claimed wave across all cores before the Arrow parse so the
         # python workers see balanced batches
-        n_par = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        n_par = int(max(self.spark.sparkContext.defaultParallelism,
+                        min(512, n_claimed // 400), 8))
         fetched = fetched.repartition(n_par, "url")
 
         parsed = PS.parse_pages(fetched).persist()

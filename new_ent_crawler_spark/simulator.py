@@ -164,6 +164,20 @@ class Simulator:
     def statuses(self) -> dict[str, int]:
         return {u: e.status for u, e in self.frontier.items()}
 
+    def finalize_exact_matches(self):
+        """Upgrade seed listings to status 5 where the assembled company
+        name equals the keyword (worker/worker.py:237-242)."""
+        infos = self.assemble_all()
+        matched_seeds = set()
+        for e in self.frontier.values():
+            if e.url in infos and e.company == e.url:
+                name = infos[e.url]["business"]["base"].get("name")
+                if name == e.keyword:
+                    matched_seeds.add(e.seed_id)
+        for e in self.frontier.values():
+            if e.depth == 0 and e.seed_id in matched_seeds:
+                e.status = 5
+
     def assemble_all(self) -> dict[str, dict]:
         """company main_url (absolute) -> InfoV2 for every found company."""
         out = {}

@@ -142,3 +142,23 @@ def test_assembly_byte_identity(crawl, spark, tiny_web):
                 sorted(recs["reports"], key=lambda r: r["year"] or "")):
             assert got_rep["general"] == want_rep["general"]
             assert got_rep["invents"] == "null"  # faithful sink quirk
+
+
+def test_run_crawl_cli_assemble(crawl, spark, tiny_web):
+    """spark-submit entry point: resume no-op + sink tables + status 5."""
+    import run_crawl
+    from new_ent_crawler_spark.sources.snapshot import SnapshotTable
+    eng, sim, _ = crawl
+    web_dir, _ = tiny_web
+    run_crawl.main(["--data", web_dir, "--work", eng.work_dir,
+                    "--per-host-k", "8", "--assemble"])
+    bus = SnapshotTable(eng.work_dir + "/business_info").read(spark)
+    assert bus.count() == len(sim.assemble_all())
+    assert set(bus.columns) >= {"province", "create_time", "name", "md5",
+                                "type", "regno", "base", "mortgages"}
+    rep = SnapshotTable(eng.work_dir + "/report_info").read(spark)
+    assert "invents" in rep.columns
+    sim.finalize_exact_matches()
+    got = {r.url: r.status
+           for r in eng.frontier().select("url", "status").collect()}
+    assert got == sim.statuses()
