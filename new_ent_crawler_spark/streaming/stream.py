@@ -53,16 +53,21 @@ def crawl_stream(spark: SparkSession, seed_dir: str, pages_path: str,
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        claimed = FR.init_frontier(batch_df)
-        fetched = claimed.join(F.broadcast(
-            pages.join(F.broadcast(claimed.select("url")), "url", "inner")),
-            "url", "left")
-        parsed = PS.parse_pages(fetched)
+        claimed = batch_df.sparkSession.createDataFrame(
+            batch_df.collect(), batch_df.schema)  # pin the micro-batch
+        claimed = FR.init_frontier(claimed)
+        hits = pages.join(F.broadcast(claimed), "url", "inner")
+        missing = (claimed
+                   .join(F.broadcast(hits.select("url")), "url", "left_anti")
+                   .withColumn("html", F.lit(None).cast("binary")))
+        fetched = hits.unionByName(missing.select(*hits.columns))
+        parsed = PS.parse_pages(fetched).persist()
         (parsed.withColumn("wave_id", F.lit(batch_id).cast("long"))
          .drop("links")
          .write.mode("append").parquet(os.path.join(out_dir, "extracted")))
         links = PS.discovered_links(parsed, wave_id=batch_id)
         links.write.mode("append").parquet(os.path.join(out_dir, "discovered"))
+        parsed.unpersist()
 
     return (seeds.writeStream
             .foreachBatch(process_batch)
