@@ -411,6 +411,34 @@ def _q_simhash_groups(spark, sf):
     return DT.simhash_dup_groups(_t(spark, sf, "documents"))
 
 
+def _q_max_by(spark, sf):
+    # rows-only: DuckDB 1.0 arg_max lacks composite-key tiebreaks
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.max_by("event_id", F.struct("value", "event_id"))
+                 .alias("top_event_id"),
+                 F.min_by("event_id", F.struct("value", "event_id"))
+                 .alias("bottom_event_id")))
+
+
+def _q_approx_distinct(spark, sf):
+    # rows-only: HLL sketches are engine-specific (frontier cardinality
+    # metric at 10^10 scale, SURVEY.md §2.4)
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users")))
+
+
+def _q_multimodal_features(spark, sf):
+    # rows-only: binary-payload plumbing (operators/multimodal.py); the
+    # decode step is a deterministic stub in this container
+    from new_ent_crawler_spark.operators import multimodal as MM
+    d = _t(spark, sf, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "utf-8").alias("payload"))
+    return MM.extract_features(media, dim=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk_per_host": _q_frontier_topk_per_host,
@@ -450,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroid_topk": _q_sim_label_centroid_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "simhash_groups": _q_simhash_groups,
+        "max_by_event": _q_max_by,
+        "approx_distinct_users": _q_approx_distinct,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
