@@ -439,6 +439,333 @@ def _q_multimodal_features(spark, sf):
     return MM.extract_features(media, dim=8)
 
 
+# --------------------------------------------------------------------------
+# temporal joins, window frames, extended TPC-H, set ops, string/array suite
+# --------------------------------------------------------------------------
+
+def _q_asof_click_purchase(spark, sf):
+    """As-of join (operators/temporal.py): for each click, the most recent
+    purchase by the same user at or before the click — one shuffle, union +
+    window, no per-key range probe.  Generalizes the reference's
+    last-writer-wins lookups (utils/MysqlDBHelper.py:22-31) to event time."""
+    from new_ent_crawler_spark.operators.temporal import asof_join
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts")
+    purch = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id",
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    out = asof_join(clicks, purch, on="user_id",
+                    left_ts="ts", right_ts="p_ts",
+                    payload_cols=["purchase_event_id", "p_value"],
+                    tiebreak="purchase_event_id")
+    return out.select("event_id", "user_id", "purchase_event_id",
+                      F.round("p_value", 6).alias("purchase_value"))
+
+
+def _q_range_join_tiers(spark, sf):
+    """Range join: facts into half-open [lo, hi) interval buckets from a
+    broadcast dim (operators/temporal.py::range_join)."""
+    from new_ent_crawler_spark.operators.temporal import range_join
+    li = _t(spark, sf, "lineitem")
+    tiers = spark.createDataFrame(
+        [("low", 1, 15), ("mid", 15, 35), ("high", 35, 51)],
+        "tier string, lo int, hi int")
+    return (range_join(li, tiers, "l_quantity")
+            .groupBy("tier")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+def _q_moving_avg_daily(spark, sf):
+    """ROWS-frame moving average (4-day trailing) over daily event counts."""
+    ev = _t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 0))
+    return daily.select(
+        "event_type", "day", "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("moving_avg"))
+
+
+def _q_lag_delta_user(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"))
+
+
+def _q_ntile_quartiles(spark, sf):
+    """ntile(4) global quartiles.  NOTE: a single global ORDER BY window is
+    one-partition by construction; at 100 TB you'd two-phase it (sample
+    range boundaries, then bucket) — this entry exists for the ntile
+    semantics parity check at test scale."""
+    o = _t(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (o.select(F.ntile(4).over(w).alias("quartile"), "o_totalprice")
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+def _q_running_total_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return daily.select("event_type", "day", "n_events",
+                        F.sum("n_events").over(w).alias("running_total"))
+
+
+def _q_first_last_event(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (ev.select("user_id",
+                      F.first("event_type").over(w).alias("first_type"),
+                      F.last("event_type").over(w).alias("last_type"))
+            .distinct())
+
+
+def _q_tpch_q4ish(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter("l_returnflag = 'R'")
+    return (o.join(li.select(F.col("l_orderkey").alias("o_orderkey")),
+                   "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def _q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue")))
+
+
+def _q_tpch_q12ish(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_count")))
+
+
+def _q_tpch_q14ish(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01"))
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(0.0)) / F.sum(rev), 4)
+                .alias("promo_revenue")))
+
+
+def _q_tpch_q18ish(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    li = _t(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter("sum_qty > 150"))
+    return (o.join(big, o["o_orderkey"] == big["l_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select("c_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty")))
+
+
+def _q_tpch_q19ish(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#13")
+         & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#20")
+           & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#11")
+           & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15)))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .filter(cond)
+            .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
+def _q_tpch_q17ish(spark, sf):
+    """Correlated-avg decorrelated as a self-agg join: lineitems below 20%%
+    of their part's average quantity (avg of integer quantities is exact, so
+    the threshold is reduction-order independent)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter("p_brand = 'Brand#13'")
+    lim = (li.groupBy(F.col("l_partkey").alias("pk"))
+           .agg((F.lit(0.2) * F.avg("l_quantity")).alias("lim")))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(lim, li["l_partkey"] == lim["pk"])
+            .filter(F.col("l_quantity") < F.col("lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+def _q_tpch_q22ish(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter("c_acctbal > 0").agg(
+        F.avg("c_acctbal").alias("abal"))
+    big_orders = (o.filter("o_totalprice > 400000")
+                  .select(F.col("o_custkey").alias("c_custkey")))
+    return (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("abal"))
+            .join(big_orders, "c_custkey", "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+def _q_top_supplier_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    s = _t(spark, sf, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+            .join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def _q_grouping_sets_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql("""
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               count(*) AS n_events
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, date_format(ts, 'yyyy-MM-dd')),
+                                (date_format(ts, 'yyyy-MM-dd')), ())
+    """)
+
+
+def _q_intersect_except(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    inter = c.intersect(o).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n")
+    exc = c.subtract(o).agg(
+        F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
+    return inter.unionByName(exc)
+
+
+def _q_string_funcs(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("pad"),
+        F.substring("c_name", 10, 4).alias("mid"),
+        F.regexp_replace("c_name", "Customer", "C").alias("rep"),
+        F.length("c_name").alias("len"),
+        F.instr("c_name", "#").alias("pos"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).alias("dist"))
+
+
+def _q_array_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.array_sort(F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0)))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_distinct"),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("first3"))
+
+
+def _q_value_histogram(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 50).alias("bucket"))
+            .agg(F.count("*").alias("n_events")))
+
+
+def _q_corr_value_ts(spark, sf):
+    ev = _t(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ; the ntz->tz cast adds a constant offset, which
+    # cancels in corr (shift-invariant). Both engines truncate to whole ms.
+    secs = (F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.lit(1704067200000)) / 1000.0
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.corr(F.col("value"), secs), 4).alias("corr_vt")))
+
+
+def _q_embedding_pair_topk(spark, sf):
+    """Embedding near-dup / similarity pairs: exact integer-quantized dot
+    product over all vec pairs, top-20.  At 100 TB scale the candidate set
+    comes from LSH buckets (operators/similarity.py::lsh_topk) instead of
+    the n² self-join; this entry pins the exact-scoring semantics."""
+    e = _t(spark, sf, "embeddings")
+    quant = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000)).alias("v"))
+    a, b = quant.alias("a"), quant.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    dot.cast("long").alias("dot"))
+            .orderBy(F.col("dot").desc(), "id_a", "id_b")
+            .limit(20))
+
+
+def _q_lang_id_confusion(spark, sf):
+    """Heuristic language-ID (functions/text.py::lang_id) scored against the
+    corpus's lang labels as a confusion-matrix count."""
+    d = _t(spark, sf, "documents")
+    return (d.select(TX.lang_id("text").alias("pred_lang"), "lang")
+            .groupBy("pred_lang", "lang")
+            .agg(F.count("*").alias("n_docs")))
+
+
+def _q_salted_skew_join(spark, sf):
+    """Skew-safe salted join: fact side salted by a deterministic key hash,
+    dim side exploded across the salt domain — result provably equals the
+    plain join (the oracle IS the plain join)."""
+    nsalt = 8
+    ev = _t(spark, sf, "events").withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(nsalt)).cast("int"))
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    dim = c.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
+    return (ev.join(dim, ["user_id", "_salt"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_topk_per_host": _q_frontier_topk_per_host,
@@ -481,6 +808,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_by_event": _q_max_by,
         "approx_distinct_users": _q_approx_distinct,
         "multimodal_features": _q_multimodal_features,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "range_join_tiers": _q_range_join_tiers,
+        "moving_avg_daily": _q_moving_avg_daily,
+        "lag_delta_user": _q_lag_delta_user,
+        "ntile_quartiles": _q_ntile_quartiles,
+        "running_total_daily": _q_running_total_daily,
+        "first_last_event": _q_first_last_event,
+        "tpch_q4ish": _q_tpch_q4ish,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q12ish": _q_tpch_q12ish,
+        "tpch_q14ish": _q_tpch_q14ish,
+        "tpch_q17ish": _q_tpch_q17ish,
+        "tpch_q18ish": _q_tpch_q18ish,
+        "tpch_q19ish": _q_tpch_q19ish,
+        "tpch_q22ish": _q_tpch_q22ish,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "grouping_sets_daily": _q_grouping_sets_daily,
+        "intersect_except_keys": _q_intersect_except,
+        "string_funcs": _q_string_funcs,
+        "array_token_stats": _q_array_token_stats,
+        "value_histogram": _q_value_histogram,
+        "corr_value_ts": _q_corr_value_ts,
+        "embedding_pair_topk": _q_embedding_pair_topk,
+        "salted_skew_join": _q_salted_skew_join,
+        "lang_id_confusion": _q_lang_id_confusion,
     }
 
 
@@ -788,6 +1140,252 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS dot
             FROM embeddings, q
             ORDER BY dot DESC, vec_id LIMIT 10
+        """,
+        "asof_click_purchase": """
+            WITH j AS (
+                SELECT l.event_id, l.user_id,
+                       r.event_id AS purchase_event_id, r.value AS pval,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'click') l
+                JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts)
+            SELECT event_id, user_id, purchase_event_id,
+                   round(pval, 6) AS purchase_value
+            FROM j WHERE rn = 1
+        """,
+        "range_join_tiers": """
+            SELECT tier, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            JOIN (VALUES ('low', 1, 15), ('mid', 15, 35),
+                         ('high', 35, 51)) t(tier, lo, hi)
+              ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY tier
+        """,
+        "moving_avg_daily": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY event_type, day)
+            SELECT event_type, day, n_events,
+                   round(avg(n_events) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                       AS moving_avg
+            FROM daily
+        """,
+        "lag_delta_user": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 6)
+                       AS delta
+            FROM events
+        """,
+        "ntile_quartiles": """
+            SELECT quartile, count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM (SELECT o_totalprice,
+                         ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                             AS quartile
+                  FROM orders)
+            GROUP BY quartile
+        """,
+        "running_total_daily": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY event_type, day)
+            SELECT event_type, day, n_events,
+                   sum(n_events) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS running_total
+            FROM daily
+        """,
+        "first_last_event": """
+            SELECT DISTINCT user_id,
+                   first_value(event_type) OVER w AS first_type,
+                   last_value(event_type) OVER w AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        """,
+        "tpch_q4ish": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q12ish": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14ish": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "tpch_q17ish": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+                  FROM lineitem GROUP BY l_partkey) a
+              ON a.pk = l.l_partkey
+            WHERE p.p_brand = 'Brand#13' AND l.l_quantity < a.lim
+        """,
+        "tpch_q18ish": """
+            SELECT c_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 150) big
+              ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "tpch_q19ish": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#11' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q22ish": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+            GROUP BY c_nationkey
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "grouping_sets_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m-%d')),
+                                    (strftime(ts, '%Y-%m-%d')), ())
+        """,
+        "intersect_except_keys": """
+            SELECT 'intersect' AS op, count(*) AS n FROM (
+                SELECT c_custkey AS k FROM customer
+                INTERSECT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'except' AS op, count(*) AS n FROM (
+                SELECT c_custkey AS k FROM customer
+                EXCEPT SELECT o_custkey FROM orders)
+        """,
+        "string_funcs": """
+            SELECT c_custkey, upper(c_name) AS up,
+                   lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS pad,
+                   substring(c_name, 10, 4) AS mid,
+                   replace(c_name, 'Customer', 'C') AS rep,
+                   length(c_name) AS len,
+                   strpos(c_name, '#') AS pos,
+                   levenshtein(c_name, 'Customer#000000001') AS dist
+            FROM customer
+        """,
+        "array_token_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list_filter(
+                           string_split(text, ' '),
+                           x -> length(x) > 0))) AS toks
+                FROM documents)
+            SELECT doc_id, len(toks) AS n_distinct,
+                   array_to_string(toks[1:3], ',') AS first3
+            FROM t
+        """,
+        "value_histogram": """
+            SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY bucket
+        """,
+        "corr_value_ts": """
+            SELECT event_type,
+                   round(corr(value,
+                              (epoch_ms(ts) - 1704067200000) / 1000.0), 4)
+                       AS corr_vt
+            FROM events GROUP BY event_type
+        """,
+        "embedding_pair_topk": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
+            FROM q a JOIN q b ON a.vec_id < b.vec_id
+            ORDER BY dot DESC, id_a, id_b LIMIT 20
+        """,
+        "salted_skew_join": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "lang_id_confusion": r"""
+            WITH p AS (
+                SELECT lang,
+                       length(text) AS n,
+                       length(text) - length(regexp_replace(
+                           text, '[一-龥]', '', 'g')) AS cjk,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in)\b')) AS en_stop
+                FROM documents)
+            SELECT CASE WHEN n = 0 THEN 'unknown'
+                        WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
+                        WHEN en_stop >= 2 THEN 'en'
+                        ELSE 'unknown' END AS pred_lang,
+                   lang, count(*) AS n_docs
+            FROM p GROUP BY pred_lang, lang
         """,
         # sim_label_centroid_topk / ann_lsh_topk / simhash_groups:
         # intentionally no SQL oracle (float reduction order) -> rows-only

@@ -34,6 +34,7 @@ HEADLINE = [
     "events_daily", "dedup_exact", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "sim_brute_topk", "ann_lsh_topk",
     "text_quality", "text_token_count", "simhash_groups",
+    "asof_click_purchase", "tpch_q18ish",
 ]
 
 

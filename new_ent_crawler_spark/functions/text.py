@@ -76,7 +76,8 @@ def lang_id(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
     cjk = n - F.length(F.regexp_replace(c, r"[一-龥]", ""))
-    en_stop = F.size(F.split(F.lower(c), r"\b(the|and|of|to|is|in)\b")) - 1
+    en_stop = F.size(F.regexp_extract_all(
+        F.lower(c), F.lit(r"\b(the|and|of|to|is|in)\b"), 0))
     return (F.when(n == 0, F.lit("unknown"))
             .when(cjk.cast("double") / n.cast("double") > 0.05, F.lit("zh"))
             .when(en_stop >= 2, F.lit("en"))
