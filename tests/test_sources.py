@@ -1,0 +1,79 @@
+"""WARC source round-trip + multi-format connector round-trips."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from new_ent_crawler_spark.sources import connectors, warc
+
+
+PAGES = [
+    {"url": "http://h1.example/a", "warc_date": "2024-01-05T10:00:00Z",
+     "html": b"<html><body>alpha \xe4\xbc\x81\xe4\xb8\x9a</body></html>"},
+    {"url": "http://h1.example/b", "warc_date": "2024-01-05T10:01:00Z",
+     "html": (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              b"<html><body>beta</body></html>")},
+    {"url": "http://h2.example/c", "warc_date": "2024-01-06T09:30:00Z",
+     "html": b"<html><body>gamma</body></html>"},
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip(spark, tmp_path, compress):
+    ext = "warc.gz" if compress else "warc"
+    warc.write_warc(PAGES[:2], str(tmp_path / f"seg1.{ext}"),
+                    compress=compress)
+    warc.write_warc(PAGES[2:], str(tmp_path / f"seg2.{ext}"),
+                    compress=compress)
+    df = warc.read_warc(spark, str(tmp_path) + f"/*.{ext}") \
+        .withColumn("epoch_s", F.unix_timestamp("warc_ts"))
+    rows = {r.url: r for r in df.collect()}
+    assert len(rows) == 3
+    # http envelope stripped, raw body kept byte-exact (incl. utf-8 CJK)
+    assert bytes(rows["http://h1.example/a"].html) == PAGES[0]["html"]
+    assert bytes(rows["http://h1.example/b"].html) \
+        == b"<html><body>beta</body></html>"
+    assert rows["http://h1.example/a"].text.endswith("企业</body></html>")
+    # 2024-01-06T09:30:00Z as an absolute instant, tz-independent
+    assert rows["http://h2.example/c"].epoch_s == 1704533400
+
+
+def test_warc_record_walk_ignores_non_response(tmp_path):
+    blob = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+            b"meta\r\n\r\n"
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x/\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\n"
+            b"ok\r\n\r\n")
+    recs = list(warc.parse_warc_bytes(blob))
+    assert len(recs) == 1 and recs[0]["url"] == "http://x/"
+    assert recs[0]["html"] == b"ok"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_connector_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id long, grp string, v double")
+    path = str(tmp_path / fmt)
+    connectors.write_table(df, path, fmt=fmt, partition_by=["grp"])
+    back = connectors.read_table(
+        spark, path, fmt=fmt, schema="id long, v double, grp string")
+    got = sorted((r.id, r.grp, float(r.v)) for r in back.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+
+
+def test_connector_refuses_schemaless_text_formats(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        connectors.read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(100).withColumn(
+        "grp", (F.col("id") % 4).cast("string"))
+    path = str(tmp_path / "p")
+    connectors.write_table(df, path, partition_by=["grp"])
+    back = connectors.read_table(spark, path).filter("grp = '1'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 25
+    # partition filter reaches the scan: only one of 4 dirs read
+    assert "PartitionFilters: [isnotnull(grp" in plan, plan
