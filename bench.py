@@ -44,11 +44,16 @@ def _exec(df):
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
+    # JVM/codegen/scheduler warmup so the first measured query isn't
+    # charged session startup; touches only a tiny dim table
+    _exec(qs["broadcast_dim_join"](spark, sf_dir))
     times = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _exec(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        # evict any persist() the query pinned so queries don't contend
+        spark.catalog.clearCache()
     return times
 
 

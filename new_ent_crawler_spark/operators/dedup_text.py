@@ -68,16 +68,21 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
     """
     sh = shingles(docs, k=k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    freq_ok = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-               .filter(F.col("df") <= max_shingle_freq)
-               .select("shingle"))
-    sh_f = sh.join(freq_ok, "shingle")
-    a = sh_f.alias("a")
-    b = sh_f.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
+    # bucket formulation: ONE shuffle by shingle builds the posting list;
+    # pair generation is a local double-explode inside each bucket (bounded
+    # by max_shingle_freq^2), not a second shuffled self-join of the full
+    # shingle table.  Singleton shingles are dropped — they can't witness
+    # a pair.
+    buckets = (sh.groupBy("shingle")
+               .agg(F.collect_set("doc_id").alias("docs"))
+               .filter((F.size("docs") >= 2)
+                       & (F.size("docs") <= max_shingle_freq))
+               .select("docs"))
+    inter = (buckets
+             .select(F.explode("docs").alias("id_a"), "docs")
+             .select("id_a", F.explode("docs").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
