@@ -406,6 +406,15 @@ def _q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, query, k=10, bits=8)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    # rows-only: float cosine + k-means centroids (reduction order)
+    e = _t(spark, sf, "embeddings")
+    query = [r[0] for r in
+             e.filter("vec_id = 0")
+             .select(F.explode("embedding")).collect()]
+    return SIM.ivf_topk(e, query, k=10, n_centroids=16, nprobe=4)
+
+
 def _q_simhash_groups(spark, sf):
     # rows-only: relies on Spark 64-bit arithmetic specifics
     return DT.simhash_dup_groups(_t(spark, sf, "documents"))
@@ -804,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_topk": _q_sim_brute_topk,
         "sim_label_centroid_topk": _q_sim_label_centroid_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "simhash_groups": _q_simhash_groups,
         "max_by_event": _q_max_by,
         "approx_distinct_users": _q_approx_distinct,

@@ -121,3 +121,76 @@ def pairwise_topk_by_label(embeddings: DataFrame, k: int = 5,
                           F.round(sim, 6).alias("sim"))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  id_col="vec_id", vec_col="embedding",
+                  lloyd_iters: int = 1) -> list[list[float]]:
+    """Coarse-quantizer centroids for an IVF index.
+
+    Seeds are the ``n_centroids`` lowest-id vectors (deterministic — no RNG
+    state), optionally refined by ``lloyd_iters`` k-means steps.  The mean
+    per (cluster, dimension) is computed distributed via posexplode +
+    groupBy; only the C x dim means (KBs) ever reach the driver, so this
+    scales to any corpus size.  At 100 TB you'd train on a sampled slice
+    (``df.sample``) — the assignment path below is unchanged.
+    """
+    seeds = [
+        [float(v) for v in r[0]]
+        for r in embeddings.orderBy(id_col).limit(n_centroids)
+        .select(vec_col).collect()]
+    cents = seeds
+    for _ in range(lloyd_iters):
+        assigned = embeddings.withColumn(
+            "cluster", nearest_centroid_col(F.col(vec_col), cents))
+        means = (assigned
+                 .select("cluster", F.posexplode(
+                     F.transform(F.col(vec_col),
+                                 lambda v: v.cast("double")))
+                     .alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.avg("val").alias("m"))
+                 .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        dim = len(cents[0])
+        cents = [
+            [by_cluster.get(c, {}).get(d, cents[c][d]) for d in range(dim)]
+            for c in range(n_centroids)]
+    return cents
+
+
+def nearest_centroid_col(vec_col, centroids: list[list[float]]):
+    """Index of the max-dot-product centroid, JVM-side: the C dot products
+    are an array expression; argmax = array_position(array_max)."""
+    a = F.transform(vec_col, lambda v: v.cast("double"))
+    dots = F.array(*[
+        _dot(a, F.array(*[F.lit(float(v)) for v in c])) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col="vec_id", vec_col="embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the ``nprobe``
+    centroids nearest the query.  Candidate set ~ nprobe/C of the corpus;
+    with the inverted lists written out partitioned by cluster
+    (``write_table(..., partition_by=['cluster'])``) the probe prunes to
+    nprobe partitions at the parquet scan."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids,
+                                  id_col=id_col, vec_col=vec_col)
+    qdots = [sum(c[d] * query[d] for d in range(len(query)))
+             for c in centroids]
+    probe = sorted(range(len(centroids)),
+                   key=lambda i: -qdots[i])[:nprobe]
+    cand = (embeddings
+            .withColumn("cluster",
+                        nearest_centroid_col(F.col(vec_col), centroids))
+            .filter(F.col("cluster").isin(probe)))
+    sim = cosine_similarity_col(F.col(vec_col), query)
+    return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

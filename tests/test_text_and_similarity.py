@@ -111,3 +111,32 @@ def test_multimodal_features(spark, tiny_web):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(sf + "/embeddings.parquet")
+    query = [r[0] for r in
+             e.filter("vec_id = 0").select(F.explode("embedding")).collect()]
+    brute = [r.vec_id for r in SIM.brute_force_topk(e, query, k=10).collect()]
+    cents = SIM.ivf_centroids(e, n_centroids=8, lloyd_iters=1)
+    assert len(cents) == 8 and len(cents[0]) == len(query)
+    ann = [r.vec_id for r in
+           SIM.ivf_topk(e, query, k=10, n_centroids=8, nprobe=4,
+                        centroids=cents).collect()]
+    # probing half the clusters must recover the query vector itself and a
+    # meaningful slice of the true top-10
+    assert ann[0] == 0
+    assert len(set(brute) & set(ann)) >= 3
+
+
+def test_ivf_assignment_partitions_all_vectors(spark):
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(sf + "/embeddings.parquet")
+    cents = SIM.ivf_centroids(e, n_centroids=4, lloyd_iters=0)
+    assigned = e.withColumn(
+        "cluster", SIM.nearest_centroid_col(F.col("embedding"), cents))
+    per = {r.cluster: r.n for r in
+           assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    assert sum(per.values()) == e.count()
+    assert set(per) <= {0, 1, 2, 3}
