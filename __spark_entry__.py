@@ -421,7 +421,8 @@ def _q_simhash_groups(spark, sf):
 
 
 def _q_max_by(spark, sf):
-    # rows-only: DuckDB 1.0 arg_max lacks composite-key tiebreaks
+    """max_by/min_by with a composite (value, id) key; the oracle expresses
+    the same lexicographic argmax with row_number windows."""
     ev = _t(spark, sf, "events")
     return (ev.groupBy("event_type")
             .agg(F.max_by("event_id", F.struct("value", "event_id"))
@@ -1380,6 +1381,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        "max_by_event": """
+            SELECT event_type,
+                   max(CASE WHEN rn_top = 1 THEN event_id END)
+                       AS top_event_id,
+                   max(CASE WHEN rn_bot = 1 THEN event_id END)
+                       AS bottom_event_id
+            FROM (SELECT event_type, event_id,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id DESC) AS rn_top,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY value ASC, event_id ASC) AS rn_bot
+                  FROM events)
+            GROUP BY event_type
         """,
         "lang_id_confusion": r"""
             WITH p AS (

@@ -20,19 +20,29 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 class BloomFilter:
-    """Plain bitarray Bloom over md5-derived hash pairs (Kirsch-Mitzenmacher
-    double hashing).  Deterministic across driver and executors."""
+    """Bitarray Bloom over md5-derived hash pairs (Kirsch-Mitzenmacher
+    double hashing).  Deterministic across driver and executors.
+
+    The md5 is computed JVM-side (``F.md5``) wherever a DataFrame is in
+    hand; the Python side only turns hex into uint64 pairs and does the bit
+    arithmetic — fully numpy-vectorized (``add_many_hex`` /
+    ``might_contain_many_hex``), so no per-row Python in the hot path.
+    All index arithmetic wraps at 2^64 (numpy uint64 semantics) in both the
+    scalar and vectorized paths, keeping them bit-identical."""
+
+    _MASK = (1 << 64) - 1
 
     def __init__(self, n_bits: int, n_hashes: int):
         self.n_bits = n_bits
         self.n_hashes = n_hashes
-        self.bits = bytearray((n_bits + 7) // 8)
+        self.bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
 
     @classmethod
     def sized(cls, expected: int, fpp: float = 0.01) -> "BloomFilter":
@@ -41,48 +51,71 @@ class BloomFilter:
         n_hashes = max(1, int(round(n_bits / expected * math.log(2))))
         return cls(n_bits, min(n_hashes, 12))
 
-    def _hash_pair(self, key: str):
-        d = hashlib.md5(key.encode("utf-8")).digest()
-        return (int.from_bytes(d[:8], "little"),
-                int.from_bytes(d[8:], "little") | 1)
+    @staticmethod
+    def _hex_pairs(hexes) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized hex -> (h1, h2|1) uint64 arrays: one fromhex over the
+        concatenated digests, one frombuffer — no per-row parsing."""
+        raw = bytes.fromhex("".join(hexes))
+        u = np.frombuffer(raw, dtype="<u8").reshape(-1, 2)
+        return u[:, 0].copy(), (u[:, 1] | np.uint64(1))
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        ks = np.arange(self.n_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = h1[:, None] + ks[None, :] * h2[:, None]  # wraps at 2^64
+        return (mixed % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_many_hex(self, hexes) -> None:
+        if len(hexes) == 0:
+            return
+        pos = self._positions(*self._hex_pairs(hexes)).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def might_contain_many_hex(self, hexes) -> np.ndarray:
+        if len(hexes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(*self._hex_pairs(hexes))
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
+    # -- scalar string API (driver-side convenience, tests) ----------------
+
+    @staticmethod
+    def _hex(key: str) -> str:
+        return hashlib.md5(key.encode("utf-8")).hexdigest()
 
     def add(self, key: str):
-        h1, h2 = self._hash_pair(key)
-        for i in range(self.n_hashes):
-            bit = (h1 + i * h2) % self.n_bits
-            self.bits[bit >> 3] |= 1 << (bit & 7)
+        self.add_many_hex([self._hex(key)])
 
     def might_contain(self, key: str) -> bool:
-        h1, h2 = self._hash_pair(key)
-        for i in range(self.n_hashes):
-            bit = (h1 + i * h2) % self.n_bits
-            if not (self.bits[bit >> 3] >> (bit & 7)) & 1:
-                return False
-        return True
+        return bool(self.might_contain_many_hex([self._hex(key)])[0])
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         assert self.n_bits == other.n_bits
-        self.bits = bytearray(a | b for a, b in zip(self.bits, other.bits))
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
         return self
 
 
 def build_bloom(urls: DataFrame, expected: int | None = None,
                 fpp: float = 0.01, depth: int = 3) -> BloomFilter:
-    """treeAggregate partition-local Blooms into one (north_rule)."""
+    """Partition-local Blooms merged via treeReduce (north_rule).  md5 runs
+    JVM-side; each partition builds its Bloom with one vectorized pass."""
     if expected is None:
         expected = urls.count()
     proto = BloomFilter.sized(expected, fpp)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
+    hexes = urls.select(F.md5(F.col("url")).alias("h"))
 
-    def seq_op(acc: BloomFilter, row):
-        acc.add(row[0])
-        return acc
+    def part_bloom(rows):
+        bf = BloomFilter(n_bits, n_hashes)
+        bf.add_many_hex([r[0] for r in rows])
+        yield bf
 
-    def comb_op(a: BloomFilter, b: BloomFilter):
-        return a.merge(b)
-
-    return urls.rdd.treeAggregate(
-        BloomFilter(n_bits, n_hashes), seq_op, comb_op, depth=depth)
+    rdd = hexes.rdd.mapPartitions(part_bloom)
+    if rdd.isEmpty():
+        return proto
+    return rdd.treeReduce(lambda a, b: a.merge(b), depth=depth)
 
 
 def filter_new_urls(candidates: DataFrame, seen_urls: DataFrame,
@@ -100,11 +133,12 @@ def filter_new_urls(candidates: DataFrame, seen_urls: DataFrame,
     b = spark.sparkContext.broadcast(bloom)
 
     @F.pandas_udf("boolean")
-    def maybe_seen(urls: pd.Series) -> pd.Series:
+    def maybe_seen(hexes: pd.Series) -> pd.Series:
         f = b.value
-        return urls.map(f.might_contain)
+        return pd.Series(f.might_contain_many_hex(hexes.to_list()))
 
-    tagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col("url")))
+    tagged = candidates.withColumn(
+        "_maybe_seen", maybe_seen(F.md5(F.col("url"))))
     definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = suspects.join(seen_urls.select("url"), "url", "left_anti")

@@ -80,6 +80,89 @@ def extract_features(media: DataFrame, dim: int = 8,
         run, schema=FEATURE_SCHEMA)
 
 
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    raise NotImplementedError("audio codecs are not shipped in this sandbox")
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Resize plumbing: payload in -> payload out with new dimensions.
+
+    The real kernel would be PIL/opencv inside the same batch loop; the
+    deterministic fake emits a payload whose bytes depend on (digest, w, h)
+    so downstream stages (storage sizing, dedup on resized bytes) are
+    exercisable.  Rows with NULL payloads pass through as NULL — the same
+    null-contract as the fetch join."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                b = bytes(payload)
+                if deterministic_fake:
+                    seed = hashlib.md5(b + f":{width}x{height}".encode())
+                    out = (seed.digest() * ((width * height) // 16 + 1))
+                    out = out[:width * height]
+                else:
+                    out = decode_image(b)  # NotImplementedError by design
+                rows.append((mid, out, width, height))
+            yield pd.DataFrame(rows, columns=["media_id", "payload",
+                                              "width", "height"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), True),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """Frame sampling: one video row fans out to <= max_frames frame rows
+    (an unnest the engine expresses as mapInPandas yielding multiple rows
+    per input).  Frame count derives from meta.duration_ms; the decode of
+    each frame is the stubbed codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
+                if payload is None:
+                    continue
+                dur = (meta or {}).get("duration_ms") or 0
+                n = min(max_frames, max(1, int(dur // every_ms)))
+                b = bytes(payload)
+                for i in range(n):
+                    if deterministic_fake:
+                        frame = hashlib.md5(b + f":frame{i}".encode()).digest()
+                    else:
+                        frame = decode_image(b)
+                    rows.append((mid, i, i * every_ms, frame))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no",
+                                              "ts_ms", "frame"])
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, schema=FRAME_SCHEMA)
+
+
 def pages_as_media(pages: DataFrame) -> DataFrame:
     """View the crawl's pages table through the media schema (html bytes as
     the opaque payload) — demonstrates the plumbing on real data."""

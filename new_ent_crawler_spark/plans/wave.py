@@ -146,14 +146,9 @@ class WaveEngine:
         # fetch = broadcast-hash probe of the big pages scan: the *claimed*
         # rows (small: bounded by politeness budgets) are the broadcast build
         # side; the html payloads stay distributed on the pages side — never
-        # broadcast page bytes.  Fetch misses become error rows via a second,
-        # url-only anti-join (retry budget via crawler_count, SURVEY.md §2.6)
+        # broadcast page bytes.
         hits = (pages.select("url", "html")
                 .join(F.broadcast(claimed), "url", "inner"))
-        missing = (claimed
-                   .join(F.broadcast(hits.select("url")), "url", "left_anti")
-                   .withColumn("html", F.lit(None).cast("binary")))
-        fetched = hits.unionByName(missing.select(*hits.columns))
 
         # the probe output inherits the pages scan's partitioning (few input
         # splits at small scale, claimed buckets at Iceberg scale); re-spread
@@ -161,9 +156,28 @@ class WaveEngine:
         # python workers see balanced batches
         n_par = int(max(self.spark.sparkContext.defaultParallelism,
                         min(512, n_claimed // 400), 8))
-        fetched = fetched.repartition(n_par, "url")
+        parsed_hits = PS.parse_pages(hits.repartition(n_par, "url")).persist()
 
-        parsed = PS.parse_pages(fetched).persist()
+        # fetch misses become error rows (retry budget via crawler_count,
+        # SURVEY.md §2.6) — derived from the PERSISTED parse output with a
+        # url-only anti-join, so the pages table is probed exactly once per
+        # wave; the error rows are built JVM-side, no second parse pass
+        link_t = ("array<struct<url:string,score:int,company:string>>")
+        missing = (claimed
+                   .join(F.broadcast(parsed_hits.select("url")),
+                         "url", "left_anti")
+                   .select("url", "host", "company", "seed_id", "keyword",
+                           F.col("depth").cast("int").alias("depth"),
+                           F.col("priority").cast("int").alias("priority"),
+                           F.col("page_type_score").cast("int")
+                           .alias("page_type_score"),
+                           F.col("enqueue_wave").cast("long")
+                           .alias("enqueue_wave"),
+                           F.lit(FR.STATUS_ERROR).cast("int").alias("status"),
+                           F.lit(False).alias("blocked"),
+                           F.lit(None).cast("string").alias("text"),
+                           F.lit(None).cast(link_t).alias("links")))
+        parsed = parsed_hits.unionByName(missing)
 
         # extracted text (judged bytes) + crawl-order log columns
         self.extracted_t.append(
@@ -217,8 +231,9 @@ class WaveEngine:
             # (one collect of short strings); huge waves fall back to the
             # distributed treeAggregate build + merge
             if n_new <= 200_000:
-                for row in new_urls.select("url").collect():
-                    self._bloom.add(row[0])
+                self._bloom.add_many_hex(
+                    [r[0] for r in
+                     new_urls.select(F.md5("url")).collect()])
             else:
                 self._bloom = self._bloom.merge(DD.build_bloom(
                     new_urls.select("url"),
@@ -227,7 +242,7 @@ class WaveEngine:
         t0 = _t("bloom_merge", t0)
         stats.update({"candidates": n_candidates, "new": n_new})
         claimed.unpersist()
-        parsed.unpersist()
+        parsed_hits.unpersist()
         candidates.unpersist()
         new_urls.unpersist()
         return stats

@@ -140,3 +140,31 @@ def test_ivf_assignment_partitions_all_vectors(spark):
            assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
     assert sum(per.values()) == e.count()
     assert set(per) <= {0, 1, 2, 3}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from new_ent_crawler_spark.operators import multimodal as MM
+    media = spark.createDataFrame(
+        [(1, b"payload-one", ("video/mp4", None, None, 5000)),
+         (2, b"payload-two", ("video/mp4", None, None, 500)),
+         (3, None, None)],
+        MM.MEDIA_SCHEMA)
+    resized = MM.resize_images(media, 16, 8).collect()
+    by_id = {r.media_id: r for r in resized}
+    assert len(bytes(by_id[1].payload)) == 16 * 8
+    assert by_id[1].width == 16 and by_id[1].height == 8
+    assert by_id[3].payload is None and by_id[3].width is None
+    # resize is deterministic on (payload, w, h)
+    again = {r.media_id: bytes(r.payload) for r in
+             MM.resize_images(media, 16, 8).collect() if r.payload}
+    assert again[1] == bytes(by_id[1].payload)
+
+    frames = MM.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r)
+    assert len(per[1]) == 5           # 5000ms / 1000ms
+    assert len(per[2]) == 1           # short video -> 1 frame minimum
+    assert 3 not in per               # null payload yields no frames
+    assert sorted(r.frame_no for r in per[1]) == [0, 1, 2, 3, 4]
+    assert per[1][0].ts_ms == 0 and len(bytes(per[1][0].frame)) == 16
