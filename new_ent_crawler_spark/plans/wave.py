@@ -150,13 +150,17 @@ class WaveEngine:
         hits = (pages.select("url", "html")
                 .join(F.broadcast(claimed), "url", "inner"))
 
-        # the probe output inherits the pages scan's partitioning (few input
-        # splits at small scale, claimed buckets at Iceberg scale); re-spread
-        # the claimed wave across all cores before the Arrow parse so the
-        # python workers see balanced batches
-        n_par = int(max(self.spark.sparkContext.defaultParallelism,
-                        min(512, n_claimed // 400), 8))
-        parsed_hits = PS.parse_pages(hits.repartition(n_par, "url")).persist()
+        # the probe output inherits the pages scan's partitioning (parquet
+        # splits at local scale, claimed buckets at Iceberg scale).  Only
+        # re-spread the page bytes when the scan has fewer partitions than
+        # cores — shuffling ~wave-size of html per wave costs more than the
+        # imbalance it fixes when the splits already cover the cores
+        cores = self.spark.sparkContext.defaultParallelism
+        src_parts = hits.rdd.getNumPartitions()
+        if src_parts < cores:
+            n_par = int(max(cores, min(512, n_claimed // 400), 8))
+            hits = hits.repartition(n_par, "url")
+        parsed_hits = PS.parse_pages(hits).persist()
 
         # fetch misses become error rows (retry budget via crawler_count,
         # SURVEY.md §2.6) — derived from the PERSISTED parse output with a
