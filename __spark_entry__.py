@@ -750,6 +750,49 @@ def _q_embedding_pair_topk(spark, sf):
             .limit(20))
 
 
+def _q_map_pivot_user(spark, sf):
+    """MapType surface: per-user event_type->count map built with
+    map_from_entries, probed with element_at (projected to scalar columns
+    so the cross-engine compare stays deterministic)."""
+    ev = _t(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"))
+    m = (counts.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+             .alias("m")))
+    return m.select(
+        "user_id",
+        *[F.coalesce(F.element_at("m", t), F.lit(0)).alias("n_" + t)
+          for t in ["click", "view", "purchase", "signup", "error"]])
+
+
+def _q_hof_order_prices(spark, sf):
+    """Higher-order-function surface: per-order discounted price array via
+    collect_list -> sort_array, reduced with aggregate / filter / array_max.
+    The array is sorted first so float summation order is identical in both
+    engines."""
+    li = _t(spark, sf, "lineitem")
+    # raw doubles, no per-element rounding (a .xx5 cent boundary rounds
+    # differently across engines); the sorted order fixes the summation
+    # order, so the float total is bit-identical before the final round
+    price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    arr = F.sort_array(F.collect_list(price))
+    per = li.groupBy("l_orderkey").agg(arr.alias("prices"))
+    total = F.aggregate("prices", F.lit(0.0), lambda a, v: a + v)
+    n = F.size("prices")
+    # no decimal rounding anywhere: the pinned order makes every double
+    # bit-identical across engines, and rounding a .xx5-adjacent double is
+    # the one thing the engines disagree on
+    return per.select(
+        "l_orderkey",
+        n.cast("long").alias("n_items"),
+        total.alias("total"),
+        F.array_max("prices").alias("max_price"),
+        F.size(F.filter("prices", lambda v: v > total / n))
+        .cast("long").alias("n_above_avg"))
+
+
 def _q_lang_id_confusion(spark, sf):
     """Heuristic language-ID (functions/text.py::lang_id) scored against the
     corpus's lang labels as a confusion-matrix count."""
@@ -844,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_topk": _q_embedding_pair_topk,
         "salted_skew_join": _q_salted_skew_join,
         "lang_id_confusion": _q_lang_id_confusion,
+        "map_pivot_user": _q_map_pivot_user,
+        "hof_order_prices": _q_hof_order_prices,
     }
 
 
@@ -1381,6 +1426,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c_mktsegment
+        """,
+        "map_pivot_user": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       AS n_signup,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "hof_order_prices": """
+            WITH per AS (
+                SELECT l_orderkey,
+                       list_sort(list(
+                           l_extendedprice * (1 - l_discount))) AS prices
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT l_orderkey,
+                   len(prices) AS n_items,
+                   list_aggregate(prices, 'sum') AS total,
+                   list_max(prices) AS max_price,
+                   len(list_filter(prices,
+                       v -> v > list_aggregate(prices, 'sum')
+                                / len(prices))) AS n_above_avg
+            FROM per
         """,
         "max_by_event": """
             SELECT event_type,
