@@ -136,9 +136,22 @@ class WaveEngine:
         claimed = FR.dequeue(frontier, PL.wave_grants(budgets),
                              self.salt_buckets, self.max_attempts)
         claimed = claimed.persist()
-        n_claimed = claimed.count()
+        # one job: materialize the claim cache AND count the still-eligible
+        # frontier (replaces run()'s separate pre-wave count + extra
+        # snapshot read — per-wave fixed job count bounds scaling)
+        eligible = (F.col("status") < FR.STATUS_IN_FLIGHT) \
+            & (F.col("crawler_count") < self.max_attempts)
+        head = {r.k: r.n for r in
+                claimed.agg(F.count("*").alias("n"))
+                .withColumn("k", F.lit("claimed"))
+                .unionByName(frontier.filter(eligible)
+                             .agg(F.count("*").alias("n"))
+                             .withColumn("k", F.lit("pending")))
+                .collect()}
+        n_claimed, pending = head["claimed"], head["pending"]
         t0 = _t("dequeue", t0)
-        stats = {"wave": wave, "claimed": n_claimed, "timings": timings}
+        stats = {"wave": wave, "claimed": n_claimed,
+                 "pending_before": pending, "timings": timings}
         if n_claimed == 0:
             claimed.unpersist()
             return stats
@@ -195,12 +208,19 @@ class WaveEngine:
         candidates = PS.discovered_links(parsed, wave_id=wave)
         candidates = PL.robots_allowed(candidates, self.robots())
         candidates = candidates.persist()
-        n_candidates = candidates.count()
-        t0 = _t("candidates", t0)
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
                                       self._bloom).persist()
-        n_new = new_urls.count()
-        t0 = _t("dedup", t0)
+        # one job materializes both caches and yields both counters —
+        # per-wave fixed job count is what bounds scaling once the parse
+        # stage is fast (Amdahl), so small actions are fused
+        cnts = {r.k: r.n for r in
+                candidates.agg(F.count("*").alias("n"))
+                .withColumn("k", F.lit("cand"))
+                .unionByName(new_urls.agg(F.count("*").alias("n"))
+                             .withColumn("k", F.lit("new")))
+                .collect()}
+        n_candidates, n_new = cnts["cand"], cnts["new"]
+        t0 = _t("candidates_dedup", t0)
 
         # lineage (per-partition parse counters + wave dedup counters)
         self.lineage_t.append(
@@ -271,16 +291,11 @@ class WaveEngine:
             pages = pages.persist()
         all_stats = []
         for wave in range(start + 1, self.max_waves + 1):
-            frontier = self.frontier_t.read(self.spark)
-            pending = frontier.filter(
-                (F.col("status") < FR.STATUS_IN_FLIGHT)
-                & (F.col("crawler_count") < self.max_attempts)).count()
-            if pending == 0:
-                break
             stats = self.run_wave(wave, pages)
-            stats["pending_before"] = pending
+            if stats["pending_before"] == 0:
+                break  # probe wave: no eligible rows, nothing committed
             all_stats.append(stats)
-            if stats["claimed"] == 0 and pending > 0:
+            if stats["claimed"] == 0 and stats["pending_before"] > 0:
                 # tokens exhausted; refill and keep going
                 budgets = self.budgets_t.read(self.spark)
                 self.budgets_t.overwrite(
