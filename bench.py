@@ -119,13 +119,24 @@ def main():
         # after the parse-stage optimizations
         companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "19200"))
         web_dir = _bench_web(companies)
-        low = run_crawl(max(cpus // 4, 2), web_dir, "n")
-        high = run_crawl(cpus, web_dir, "4n")
+        # the sandbox host has time-varying CPU steal that can inflate one
+        # leg 2-3x; interleave the legs and take the best of R repeats per
+        # leg so one contended half-hour cannot poison the ratio (min-of-N
+        # estimates uncontended capability; both legs get equal exposure)
+        repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "2"))
+        runs = {"n": [], "4n": []}
+        for r in range(repeats):
+            runs["n"].append(run_crawl(max(cpus // 4, 2), web_dir, f"n{r}"))
+            runs["4n"].append(run_crawl(cpus, web_dir, f"4n{r}"))
+        low = min(runs["n"], key=lambda d: d["seconds"])
+        high = min(runs["4n"], key=lambda d: d["seconds"])
         eff = round((low["seconds"] / high["seconds"]) / 4.0, 3) \
             if high["seconds"] > 0 else None
         out["crawl"] = {"n_cores": low, "4n_cores": high,
+                        "all_runs": runs,
                         "scaling_efficiency": eff,
-                        "note": "efficiency = (T_N / T_4N) / 4; 1.0 = ideal"}
+                        "note": "efficiency = (T_N / T_4N) / 4 over best-of-"
+                                f"{repeats} interleaved runs; 1.0 = ideal"}
 
     print(json.dumps(out))
 
