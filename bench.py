@@ -79,7 +79,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH", f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
-    per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "2400"))
+    per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "4800"))
     # cache_pages=False is the representative config: no cluster caches a
     # 100 TB corpus — each wave scans compressed storage with CPU-bound
     # decode, which is what actually scales with executors.  The in-memory
