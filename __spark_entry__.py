@@ -443,12 +443,22 @@ def _q_approx_distinct(spark, sf):
 
 def _q_multimodal_features(spark, sf):
     # rows-only: binary-payload plumbing (operators/multimodal.py); the
-    # decode step is a deterministic stub in this container
+    # decode step is a deterministic stub in this container.  The raw
+    # array<float> feature stays inside the operator — the check surface
+    # projects it to scalar columns (dim + concat of rounded components)
+    # because the driver's canonicalizer cannot sort/factorize list cells
+    # (r01 hard error: "unhashable type: 'list'").
     from new_ent_crawler_spark.operators import multimodal as MM
     d = _t(spark, sf, "documents")
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.encode("text", "utf-8").alias("payload"))
-    return MM.extract_features(media, dim=8)
+    feats = MM.extract_features(media, dim=8)
+    feat_sig = F.concat_ws(
+        ",", F.transform("feature",
+                         lambda x: F.format_number(x.cast("double"), 4)))
+    return feats.select("media_id", "n_bytes", "digest",
+                        F.size("feature").cast("long").alias("feature_dim"),
+                        feat_sig.alias("feature_sig"))
 
 
 # --------------------------------------------------------------------------
@@ -1133,8 +1143,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT))
                        AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -1150,8 +1160,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_users": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,
+                       -- floor(epoch()) matches Spark's cast(ts AS LONG)
+                       -- truncation; the ts values carry fractional seconds
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                    > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1161,7 +1175,7 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sess_id
                 FROM flagged)
-            SELECT user_id, max(sess_id) AS n_sessions,
+            SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id
         """,
@@ -1174,13 +1188,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS median_value
             FROM events GROUP BY event_type
         """,
+        # every integer sum is CAST(... AS BIGINT): DuckDB sum(int) returns
+        # HUGEINT, which pandas renders as float64 and the driver's
+        # value-hash then diverges from Spark's int64 (r01 hash-fail root
+        # cause for this + running_total/sessionize/json_extract)
         "pivot_lang_counts": """
             SELECT source,
-                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh,
-                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
-                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
-                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es
             FROM documents GROUP BY source
         """,
         "cube_type": """
@@ -1257,9 +1275,9 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_events
                 FROM events GROUP BY event_type, day)
             SELECT event_type, day, n_events,
-                   sum(n_events) OVER (
+                   CAST(sum(n_events) OVER (
                        PARTITION BY event_type ORDER BY day
-                       ROWS UNBOUNDED PRECEDING) AS running_total
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total
             FROM daily
         """,
         "first_last_event": """
@@ -1289,10 +1307,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12ish": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_count
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1431,16 +1449,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "map_pivot_user": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                       AS n_click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                       AS n_view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                       AS n_signup,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                       AS n_error
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
         "hof_order_prices": """

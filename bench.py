@@ -24,6 +24,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# bench hosts have RAM to spare; the library default stays conservative
+os.environ.setdefault("SPARK_DRIVER_MEM", "56g")
+
 import __spark_entry__ as entrymod  # noqa: E402
 from new_ent_crawler_spark.session import get_spark  # noqa: E402
 

@@ -38,6 +38,22 @@ def _normalize(rows, cols):
                   key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
+def _kind(series):
+    """Coarse dtype class for the driver-parity check.  The driver's
+    value-hash treats 3 (int64) and 3.0 (float64) as different — the r01
+    hash-fail mode when a DuckDB HUGEINT sum lands in pandas as float64 —
+    but is insensitive to int width (int32 row_number vs BIGINT passed).
+    Columns with nulls are exempt: both engines widen them unpredictably."""
+    if series.isna().any():
+        return "nullable"
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
@@ -55,6 +71,17 @@ def test_query_matches_oracle(spark, duck, name):
     want = _normalize(drows, dcols)
     mismatches = [(g, w) for g, w in zip(got, want) if g != w][:5]
     assert got == want, mismatches
+
+    # driver-parity dtype check: the pandas dtypes both sides must agree on
+    # the int/float axis, else the driver's value-hash diverges even when
+    # the values compare equal above
+    spdf = sdf.toPandas()
+    ddf = duck.execute(entrymod.oracle_sql()[name]).df()
+    for c in sorted(scols):
+        ks, kd = _kind(spdf[c]), _kind(ddf[c])
+        if "nullable" in (ks, kd) or len(spdf) == 0:
+            continue
+        assert ks == kd, (name, c, spdf[c].dtype, ddf[c].dtype)
 
 
 def test_rows_only_queries_run(spark):
