@@ -111,11 +111,19 @@ def minhash_signatures(docs: DataFrame, k: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      max_bucket_size: int = 100) -> DataFrame:
     """Candidate near-dup pairs: equal band-key in any band.
 
     rows_per_band = num_hashes/bands; the band key is the md5 of the band's
     concatenated minhashes, so bucket join keys are short strings.
+
+    Scale guard: pair generation is the bucket-local double-explode (one
+    shuffle by band key), and buckets larger than ``max_bucket_size`` are
+    dropped before it — one degenerate key (e.g. thousands of near-empty
+    docs sharing a signature) would otherwise square its bucket.  The same
+    frequency cut as ``ngram_jaccard_pairs``'s max_shingle_freq; a bucket
+    that big is exact-dup mass, which ``exact_dedup`` already handles.
     """
     sig = minhash_signatures(docs, k=k, num_hashes=num_hashes).persist()
     rows_per_band = num_hashes // bands
@@ -130,13 +138,15 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
     banded = band_frames[0]
     for fr in band_frames[1:]:
         banded = banded.unionByName(fr)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
+    buckets = (banded.groupBy("band", "band_key")
+               .agg(F.collect_set("doc_id").alias("docs"))
+               .filter((F.size("docs") >= 2)
+                       & (F.size("docs") <= max_bucket_size))
+               .select("docs"))
+    return (buckets
+            .select(F.explode("docs").alias("id_a"), "docs")
+            .select("id_a", F.explode("docs").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
             .distinct())
 
 
@@ -162,9 +172,58 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 def simhash_dup_groups(docs: DataFrame) -> DataFrame:
-    """Exact-simhash collision groups (Hamming-0 near-dups; banding for
-    Hamming<=k splits `simhash` into band keys the same way as minhash)."""
+    """Exact-simhash collision groups (Hamming-0 near-dups; see
+    ``simhash_near_pairs`` for the Hamming<=k banded variant)."""
     return (simhash(docs).groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("keep_id"))
             .filter(F.col("n_docs") > 1))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       n_bands: int = 4,
+                       max_bucket_size: int = 100) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= ``max_hamming`` via banding.
+
+    Pigeonhole: the 60-bit fingerprint splits into ``n_bands`` contiguous
+    bands (n_bands must exceed max_hamming); any pair within Hamming
+    ``n_bands - 1`` agrees exactly on at least one band, so equal-band
+    buckets are a complete candidate set.  Candidates are then verified
+    with the exact popcount of the XOR — so banding only prunes, never
+    changes the result.  One shuffle (groupBy band key), bucket-local pair
+    generation, same ``max_bucket_size`` guard as the minhash path.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError("need n_bands > max_hamming for a complete "
+                         "candidate set (pigeonhole)")
+    bits_per_band = 60 // n_bands
+    fp = simhash(docs)
+    mask = (1 << bits_per_band) - 1
+    band_frames = [
+        fp.select("doc_id", "simhash", F.lit(b).alias("band"),
+                  F.shiftright("simhash", b * bits_per_band)
+                  .bitwiseAND(F.lit(mask)).alias("band_key"))
+        for b in range(n_bands)]
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionByName(fr)
+    buckets = (banded.groupBy("band", "band_key")
+               .agg(F.collect_set(F.struct("doc_id", "simhash"))
+                    .alias("docs"))
+               .filter((F.size("docs") >= 2)
+                       & (F.size("docs") <= max_bucket_size))
+               .select("docs"))
+    pairs = (buckets
+             .select(F.explode("docs").alias("a"), "docs")
+             .select("a", F.explode("docs").alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs
+            .withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -83,6 +83,17 @@ def _order_cols():
             F.col("url").asc()]
 
 
+def eligibility_predicate(max_attempts: int = 3):
+    """The single definition of "this row can still be claimed".  Used by
+    both ``dequeue`` and the wave engine's fused pending head-count — a
+    second hand-written copy once drifted (it dropped the host null check,
+    so null-host rows kept pending>0 forever while claimed stayed 0 and the
+    run spun refill-only waves until max_waves)."""
+    return ((F.col("status") < STATUS_IN_FLIGHT)
+            & (F.col("crawler_count") < max_attempts)
+            & F.col("host").isNotNull())
+
+
 def dequeue(frontier: DataFrame, budgets: DataFrame,
             salt_buckets: int = 8, max_attempts: int = 3) -> DataFrame:
     """Claim this wave's work-list: per-host top-K_host by the priority
@@ -93,9 +104,7 @@ def dequeue(frontier: DataFrame, budgets: DataFrame,
     ``budgets``: (host, grant int) — small, broadcast.
     """
     eligible = (frontier
-                .filter((F.col("status") < STATUS_IN_FLIGHT)
-                        & (F.col("crawler_count") < max_attempts)
-                        & F.col("host").isNotNull())
+                .filter(eligibility_predicate(max_attempts))
                 .join(F.broadcast(budgets), "host", "inner")
                 .filter(F.col("grant") > 0))
     salted = with_url_key(eligible, salt_buckets)

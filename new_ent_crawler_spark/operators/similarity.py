@@ -139,6 +139,11 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
         [float(v) for v in r[0]]
         for r in embeddings.orderBy(id_col).limit(n_centroids)
         .select(vec_col).collect()]
+    if not seeds:
+        raise ValueError("ivf_centroids: embeddings table is empty")
+    # corpora smaller than n_centroids yield fewer seeds; clamp so the
+    # Lloyd refinement below never indexes past the actual centroid list
+    n_centroids = len(seeds)
     cents = seeds
     for _ in range(lloyd_iters):
         assigned = embeddings.withColumn(

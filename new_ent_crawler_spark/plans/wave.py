@@ -139,12 +139,11 @@ class WaveEngine:
         # one job: materialize the claim cache AND count the still-eligible
         # frontier (replaces run()'s separate pre-wave count + extra
         # snapshot read — per-wave fixed job count bounds scaling)
-        eligible = (F.col("status") < FR.STATUS_IN_FLIGHT) \
-            & (F.col("crawler_count") < self.max_attempts)
         head = {r.k: r.n for r in
                 claimed.agg(F.count("*").alias("n"))
                 .withColumn("k", F.lit("claimed"))
-                .unionByName(frontier.filter(eligible)
+                .unionByName(frontier.filter(
+                    FR.eligibility_predicate(self.max_attempts))
                              .agg(F.count("*").alias("n"))
                              .withColumn("k", F.lit("pending")))
                 .collect()}

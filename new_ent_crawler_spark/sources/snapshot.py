@@ -67,7 +67,12 @@ class SnapshotTable:
 
     def _new_snapshot(self, dirs: list[str], meta: dict | None) -> dict:
         m = self._read_manifest()
-        snap_id = (m["current"] or 0) + 1
+        # ids must be unique across the whole history, not just ahead of
+        # `current`: after rollback_to(k) the orphaned snapshots k+1..n stay
+        # in the manifest (Iceberg keeps them for time travel), and a
+        # current+1 id would collide with the stale k+1 entry, making
+        # current_snapshot() resolve to the old data dirs
+        snap_id = max((s["id"] for s in m["snapshots"]), default=0) + 1
         snap = {"id": snap_id, "dirs": dirs, "meta": meta or {}}
         m["snapshots"].append(snap)
         m["current"] = snap_id

@@ -39,6 +39,25 @@ def test_rollback_time_travel(spark, tmp_path):
     assert t.meta() == {"wave": 1}
 
 
+def test_append_after_rollback_reads_new_content(spark, tmp_path):
+    """Regression: ids must stay unique after rollback.  Previously
+    current+1 collided with the orphaned forward snapshot, so
+    current_snapshot() resolved to the STALE entry and a resume replaying
+    a wave with different content silently read the old data."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark.range(3), meta={"wave": 1})
+    snap1 = t.current_snapshot()["id"]
+    t.append(spark.range(100, 103), meta={"wave": 2})
+    t.rollback_to(snap1)
+    # replay wave 2 with DIFFERENT content (e.g. changed per_host_k)
+    t.append(spark.range(200, 202), meta={"wave": 2})
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 200, 201], got
+    assert t.meta() == {"wave": 2}
+    ids = [s["id"] for s in t._read_manifest()["snapshots"]]
+    assert len(ids) == len(set(ids)), ids
+
+
 def test_commit_is_atomic_rename(spark, tmp_path):
     """A data dir written without a manifest commit is invisible (the crash
     window leaves the previous snapshot current)."""

@@ -168,3 +168,68 @@ def test_multimodal_resize_and_frames(spark):
     assert 3 not in per               # null payload yields no frames
     assert sorted(r.frame_no for r in per[1]) == [0, 1, 2, 3, 4]
     assert per[1][0].ts_ms == 0 and len(bytes(per[1][0].frame)) == 16
+
+
+def test_minhash_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """1k identical docs put every signature in one band bucket; the
+    max_bucket_size cut must drop it (linear work, no n^2 self-join blowup)
+    while leaving a normal small corpus's pairs intact."""
+    degen = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same exact text for every single document here").alias("text"))
+    capped = DT.minhash_lsh_pairs(degen, k=5, num_hashes=8, bands=4,
+                                  max_bucket_size=100)
+    assert capped.count() == 0  # the 1000-doc bucket exceeds the cap
+    # with the cap lifted the same corpus is quadratic — 1000*999/2 pairs
+    # (this is the blowup the cap exists to prevent; 500 docs keeps the
+    # assert cheap)
+    small = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same exact text for every single document here").alias("text"))
+    uncapped = DT.minhash_lsh_pairs(small, k=5, num_hashes=8, bands=4,
+                                    max_bucket_size=1000)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_minhash_lsh_cap_preserves_normal_corpus(spark, docs):
+    with_cap = sorted((r.id_a, r.id_b) for r in
+                      DT.minhash_lsh_pairs(docs, k=5, num_hashes=8,
+                                           bands=4).collect())
+    no_cap = sorted((r.id_a, r.id_b) for r in
+                    DT.minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4,
+                                         max_bucket_size=10**6).collect())
+    assert with_cap == no_cap and (1, 2) in with_cap
+
+
+def test_simhash_near_pairs_equals_bruteforce(spark):
+    """Banding (pigeonhole candidates) + exact popcount verify must equal
+    the brute-force all-pairs Hamming filter — banding only prunes."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = DT.simhash(docs)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    for k in (0, 3):
+        brute = sorted((r.id_a, r.id_b, r.hamming) for r in
+                       a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                       .select(F.col("a.doc_id").alias("id_a"),
+                               F.col("b.doc_id").alias("id_b"),
+                               ham.cast("int").alias("hamming"))
+                       .filter(F.col("hamming") <= k).collect())
+        banded = sorted((r.id_a, r.id_b, r.hamming) for r in
+                        DT.simhash_near_pairs(docs, max_hamming=k,
+                                              n_bands=4).collect())
+        assert banded == brute, (k, len(banded), len(brute))
+
+
+def test_simhash_near_pairs_rejects_bad_bands():
+    with pytest.raises(ValueError):
+        DT.simhash_near_pairs(None, max_hamming=4, n_bands=4)
+
+
+def test_ivf_centroids_clamps_to_corpus_size(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.ivf_centroids(e, n_centroids=16, lloyd_iters=1)
+    assert len(cents) == 3  # clamped to the 3 available seeds
+    with pytest.raises(ValueError):
+        SIM.ivf_centroids(e.filter("vec_id < 0"), n_centroids=4)
