@@ -68,6 +68,36 @@ def spend_and_refill(budgets: DataFrame, used: DataFrame,
     return out
 
 
+# -- driver-side (pandas) twins ---------------------------------------------
+#
+# Budgets are broadcast into the dequeue join, so by construction the whole
+# budgets table fits on the driver; managing its state there turns two Spark
+# jobs per wave (join+write) into vectorized pandas plus a metadata-sized
+# parquet write.  The formulas are the exact twins of the Spark versions
+# above (which remain the API for distributed callers and tests).
+
+def grants_pd(budgets_pdf):
+    """pandas twin of wave_grants: (host, grant int)."""
+    import numpy as np
+    out = budgets_pdf[["host"]].copy()
+    out["grant"] = np.floor(budgets_pdf["tokens"]).astype("int32")
+    return out
+
+
+def spend_and_refill_pd(budgets_pdf, used: dict, blocked=frozenset()):
+    """pandas twin of spend_and_refill: tokens' = min(capacity,
+    tokens - used + refill); blocked hosts reset to 0."""
+    import numpy as np
+    out = budgets_pdf.copy()
+    u = out["host"].map(used).fillna(0.0).astype("float64")
+    out["tokens"] = np.minimum(out["capacity"].to_numpy(),
+                               out["tokens"].to_numpy() - u.to_numpy()
+                               + out["refill_rate"].to_numpy())
+    if blocked:
+        out.loc[out["host"].isin(blocked), "tokens"] = 0.0
+    return out
+
+
 def robots_allowed(df: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop URLs whose path matches a disallow prefix for their host.
     Broadcast join — the rules table is tiny next to the candidate stream."""

@@ -34,14 +34,31 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datetime import datetime, timezone
+
 from ..operators import dedup as DD
 from ..operators import frontier as FR
-from ..operators import lineage as LN
 from ..operators import parse as PS
 from ..operators import politeness as PL
 from ..sources.snapshot import SnapshotTable
 
 ORDER_COLS = ["priority", "depth", "page_type_score", "enqueue_wave", "url"]
+
+
+def _control_schemas():
+    import pyarrow as pa
+    lineage = pa.schema([
+        ("wave_id", pa.int64()), ("stage", pa.string()),
+        ("partition_id", pa.int32()), ("urls_in", pa.int64()),
+        ("urls_out", pa.int64()), ("dedup_hits", pa.int64()),
+        ("ts", pa.timestamp("us", tz="UTC"))])
+    budgets = pa.schema([
+        ("host", pa.string()), ("tokens", pa.float64()),
+        ("refill_rate", pa.float64()), ("capacity", pa.float64())])
+    return lineage, budgets
+
+
+LINEAGE_PA, BUDGETS_PA = _control_schemas()
 
 
 class WaveEngine:
@@ -71,6 +88,10 @@ class WaveEngine:
         self.extracted_t = SnapshotTable(os.path.join(work_dir, "extracted"))
         self.lineage_t = SnapshotTable(os.path.join(work_dir, "lineage"))
         self._bloom: DD.BloomFilter | None = None
+        # politeness state lives driver-side between waves (budgets are
+        # broadcast-bound, so they fit by construction); the budgets table
+        # is still committed every wave for resume
+        self._budgets_pdf = None
 
     # -- inputs ------------------------------------------------------------
 
@@ -91,12 +112,23 @@ class WaveEngine:
     def _init_state(self):
         frontier = FR.init_frontier(self.seeds())
         self.frontier_t.overwrite(frontier, meta={"wave": 0})
-        self.budgets_t.overwrite(
-            PL.init_budgets(self.robots(), self.per_host_k), meta={"wave": 0})
+        self._budgets_pdf = (
+            PL.init_budgets(self.robots(), self.per_host_k).toPandas())
+        self.budgets_t.overwrite_rows(self._budgets_pdf, BUDGETS_PA,
+                                      meta={"wave": 0})
+
+    def _budgets(self):
+        if self._budgets_pdf is None:  # resume: reload committed state
+            self._budgets_pdf = self.budgets_t.read(self.spark).toPandas()
+        return self._budgets_pdf
+
+    def _commit_budgets(self, wave: int):
+        self.budgets_t.overwrite_rows(self._budgets_pdf, BUDGETS_PA,
+                                      meta={"wave": wave})
 
     def _rollback_appends(self, wave: int):
-        """Align append-only tables with the frontier commit point."""
-        for t in (self.extracted_t, self.lineage_t):
+        """Align the other tables with the frontier commit point."""
+        for t in (self.extracted_t, self.lineage_t, self.budgets_t):
             m = t._read_manifest()
             good = [s for s in m["snapshots"] if s["meta"].get("wave", 0) <= wave]
             if m["current"] is not None and good:
@@ -129,25 +161,28 @@ class WaveEngine:
         t0 = _time.perf_counter()
         spark = self.spark
         frontier = self.frontier_t.read(spark)
-        budgets = self.budgets_t.read(spark)
+        budgets_pdf = self._budgets()
         self._ensure_bloom(frontier)
         t0 = _t("read_state", t0)
 
-        claimed = FR.dequeue(frontier, PL.wave_grants(budgets),
+        grants = spark.createDataFrame(PL.grants_pd(budgets_pdf),
+                                       "host string, grant int")
+        claimed = FR.dequeue(frontier, grants,
                              self.salt_buckets, self.max_attempts)
         claimed = claimed.persist()
-        # one job: materialize the claim cache AND count the still-eligible
-        # frontier (replaces run()'s separate pre-wave count + extra
-        # snapshot read — per-wave fixed job count bounds scaling)
-        head = {r.k: r.n for r in
-                claimed.agg(F.count("*").alias("n"))
-                .withColumn("k", F.lit("claimed"))
-                .unionByName(frontier.filter(
-                    FR.eligibility_predicate(self.max_attempts))
-                             .agg(F.count("*").alias("n"))
-                             .withColumn("k", F.lit("pending")))
-                .collect()}
-        n_claimed, pending = head["claimed"], head["pending"]
+        # one job: materialize the claim cache AND produce the per-host
+        # claim counts (feeds the driver-side budget spend) AND count the
+        # still-eligible frontier — per-wave fixed job count bounds scaling
+        head_rows = (claimed.groupBy("host").agg(F.count("*").alias("n"))
+                     .unionByName(
+                         frontier.filter(
+                             FR.eligibility_predicate(self.max_attempts))
+                         .agg(F.count("*").alias("n"))
+                         .select(F.lit("\0pending").alias("host"), "n"))
+                     .collect())
+        used = {r.host: r.n for r in head_rows if r.host != "\0pending"}
+        pending = next(r.n for r in head_rows if r.host == "\0pending")
+        n_claimed = sum(used.values())
         t0 = _t("dequeue", t0)
         stats = {"wave": wave, "claimed": n_claimed,
                  "pending_before": pending, "timings": timings}
@@ -221,20 +256,34 @@ class WaveEngine:
         n_candidates, n_new = cnts["cand"], cnts["new"]
         t0 = _t("candidates_dedup", t0)
 
-        # lineage (per-partition parse counters + wave dedup counters)
-        self.lineage_t.append(
-            LN.parse_lineage(parsed, wave).unionByName(
-                LN.dedup_lineage(spark, wave, n_candidates, n_new))
-            .coalesce(1),
-            meta={"wave": wave})
+        # ONE aggregate over the persisted parse output yields both the
+        # per-partition lineage counters AND the blocked-host set; the
+        # lineage rows themselves (a handful of counters per wave) commit
+        # driver-side — no Spark write job
+        pl_rows = (parsed
+                   .groupBy(F.spark_partition_id().alias("pid"))
+                   .agg(F.count("*").alias("urls_in"),
+                        F.sum(F.coalesce(F.size("links"), F.lit(0)))
+                        .alias("urls_out"),
+                        F.collect_set(F.when(F.col("blocked"), F.col("host")))
+                        .alias("blocked_hosts"))
+                   .collect())
+        blocked = set()
+        for r in pl_rows:
+            blocked.update(r.blocked_hosts)
+        now = datetime.now(timezone.utc)
+        lin = [(wave, "parse", r.pid, r.urls_in, r.urls_out, 0, now)
+               for r in pl_rows]
+        lin.append((wave, "dedup", -1, n_candidates, n_new,
+                    n_candidates - n_new, now))
+        self.lineage_t.append_rows(lin, LINEAGE_PA, meta={"wave": wave})
 
         t0 = _t("lineage", t0)
-        # budgets: spend claims, refill, cool down blocked hosts
-        blocked = parsed.filter(F.col("blocked")).select("host")
-        self.budgets_t.overwrite(
-            PL.spend_and_refill(budgets, claimed.select("host"), blocked)
-            .coalesce(1),
-            meta={"wave": wave})
+        # budgets: spend claims, refill, cool down blocked hosts — pure
+        # driver-side pandas (the per-host claim counts came back with the
+        # head job) plus a metadata-sized commit
+        self._budgets_pdf = PL.spend_and_refill_pd(budgets_pdf, used, blocked)
+        self._commit_budgets(wave)
 
         t0 = _t("budgets", t0)
         # MERGE statuses + append new pending rows; frontier commit is the
@@ -242,18 +291,24 @@ class WaveEngine:
         updates = parsed.select("url", "status")
         merged = FR.merge_status(frontier, updates)
         new_rows = new_urls.select(*FR.FRONTIER_COLS)
-        # keep the frontier in a handful of files: small snapshots re-read
-        # every wave; Iceberg would compact via bin-packing instead
-        self.frontier_t.overwrite(merged.unionByName(new_rows).coalesce(16),
-                                  meta={"wave": wave})
+        # keep the frontier in a handful of files (small snapshots re-read
+        # every wave; Iceberg would compact via bin-packing) but never below
+        # core count — a coalesce propagates up and would throttle the merge
+        # join on the wider session
+        self.frontier_t.overwrite(
+            merged.unionByName(new_rows).coalesce(max(16, cores)),
+            meta={"wave": wave})
 
         t0 = _t("frontier_merge", t0)
         if self._bloom is not None and n_new > 0:
             # incremental seen-set update: a wave's new URLs are bounded by
             # the politeness budgets, so small waves add hashes driver-side
-            # (one collect of short strings); huge waves fall back to the
-            # distributed treeAggregate build + merge
-            if n_new <= 200_000:
+            # (one collect of 32-byte digests — ~32 MB at the threshold —
+            # then one vectorized numpy pass); huge waves fall back to the
+            # distributed treeAggregate build + merge, which costs a full
+            # sized-bloom per partition + merge shuffle and only wins when
+            # the collect itself would strain the driver
+            if n_new <= 1_000_000:
                 self._bloom.add_many_hex(
                     [r[0] for r in
                      new_urls.select(F.md5("url")).collect()])
@@ -285,6 +340,7 @@ class WaveEngine:
             self._init_state()
         start = self.last_wave()
         self._rollback_appends(start)
+        self._budgets_pdf = None  # reload politeness state post-rollback
         pages = self.pages().select("url", "html")
         if self.cache_pages:
             pages = pages.persist()
@@ -296,11 +352,9 @@ class WaveEngine:
             all_stats.append(stats)
             if stats["claimed"] == 0 and stats["pending_before"] > 0:
                 # tokens exhausted; refill and keep going
-                budgets = self.budgets_t.read(self.spark)
-                self.budgets_t.overwrite(
-                    PL.spend_and_refill(
-                        budgets, budgets.select("host").limit(0)),
-                    meta={"wave": wave})
+                self._budgets_pdf = PL.spend_and_refill_pd(
+                    self._budgets(), {})
+                self._commit_budgets(wave)
         if self.cache_pages:
             pages.unpersist()
         return all_stats

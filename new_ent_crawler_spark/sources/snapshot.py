@@ -91,6 +91,45 @@ class SnapshotTable:
         new_dir = self._write_data(df)
         return self._new_snapshot([new_dir], meta)
 
+    # -- control-plane row writes (no Spark job) ---------------------------
+
+    def _write_rows(self, rows, schema) -> str:
+        """Driver-side parquet write via pyarrow for tiny control tables
+        (politeness budgets, lineage counters).  These tables are bounded by
+        construction — budgets must fit a broadcast, lineage is a handful of
+        counters per wave — so a Spark write job per wave is pure fixed cost
+        (the Iceberg analogue: metadata-sized commits don't launch executor
+        jobs either).  The resulting files read back via spark.read.parquet
+        exactly like executor-written data dirs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        data_dir = "data-" + uuid.uuid4().hex[:12]
+        full = os.path.join(self.path, data_dir)
+        os.makedirs(full, exist_ok=True)
+        if isinstance(rows, pa.Table):
+            table = rows.cast(schema)
+        elif hasattr(rows, "to_dict"):  # pandas DataFrame
+            table = pa.Table.from_pandas(rows, schema=schema,
+                                         preserve_index=False)
+        else:  # list of row tuples
+            cols = [[r[i] for r in rows] for i in range(len(schema))]
+            table = pa.Table.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema)
+        pq.write_table(table, os.path.join(full, "part-00000.parquet"),
+                       compression="zstd")
+        return data_dir
+
+    def append_rows(self, rows, schema, meta: dict | None = None) -> dict:
+        new_dir = self._write_rows(rows, schema)
+        cur = self.current_snapshot()
+        dirs = (cur["dirs"] if cur else []) + [new_dir]
+        return self._new_snapshot(dirs, meta)
+
+    def overwrite_rows(self, rows, schema, meta: dict | None = None) -> dict:
+        new_dir = self._write_rows(rows, schema)
+        return self._new_snapshot([new_dir], meta)
+
     def rollback_to(self, snap_id: int):
         m = self._read_manifest()
         if any(s["id"] == snap_id for s in m["snapshots"]):

@@ -43,9 +43,8 @@ def crawl_stream(spark: SparkSession, seed_dir: str, pages_path: str,
 
     Each micro-batch: seeds -> frontier rows -> fetch join against pages ->
     Arrow parse -> extracted rows appended to ``out_dir``.  Link discovery
-    feeds a side output that an outer wave loop (or a second stream) drains —
-    Structured Streaming cannot cycle a stream into its own source, which is
-    exactly why the batch WaveEngine owns the full frontier loop.
+    feeds the ``discovered/`` side output, which ``drain_discovered_stream``
+    (a second file-source stream) crawls to arbitrary depth.
     """
     pages = spark.read.parquet(pages_path).select("url", "html")
     seeds = stream_seeds(spark, seed_dir)
@@ -70,6 +69,68 @@ def crawl_stream(spark: SparkSession, seed_dir: str, pages_path: str,
         parsed.unpersist()
 
     return (seeds.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds"))
+
+
+def drain_discovered_stream(spark: SparkSession, pages_path: str,
+                            out_dir: str, checkpoint_dir: str,
+                            trigger_seconds: int = 5):
+    """Second file-source stream over ``discovered/``: re-enters the same
+    fetch+parse wave logic, so the streaming front-end crawls depth > 1
+    without the batch engine.
+
+    The cycle trick: a single stream cannot read its own query as a source,
+    but a *file-source* stream happily picks up files its own
+    ``foreachBatch`` appended to the watched directory — so deeper link
+    discoveries written back into ``discovered/`` are consumed on later
+    triggers, walking the crawl tree one micro-batch per depth level.  The
+    loop terminates because each batch anti-joins the accumulated
+    ``seen/`` URL set (exact, parquet-backed; the batch engine's Bloom
+    would front it at scale) before fetching — once a depth level yields
+    no unseen URLs, no new files appear and the stream idles.
+    """
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    disc_schema = ("url string, host string, company string, seed_id long, "
+                   "keyword string, depth int, page_type_score int, "
+                   "priority int, status int, crawler_count int, "
+                   "enqueue_wave long")
+    disc_dir = os.path.join(out_dir, "discovered")
+    seen_dir = os.path.join(out_dir, "seen")
+    # the producer stream may not have emitted its first batch yet; an
+    # empty watched dir is fine, a missing one fails stream analysis
+    os.makedirs(disc_dir, exist_ok=True)
+    disc = (spark.readStream.schema(disc_schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(disc_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        cand = batch_df.dropDuplicates(["url"])
+        if os.path.isdir(seen_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(seen_dir)):
+            cand = cand.join(sess.read.parquet(seen_dir), "url", "left_anti")
+        claimed = sess.createDataFrame(cand.collect(), batch_df.schema)
+        if claimed.isEmpty():
+            return
+        claimed.select("url").write.mode("append").parquet(seen_dir)
+        hits = pages.join(F.broadcast(claimed), "url", "inner")
+        missing = (claimed
+                   .join(F.broadcast(hits.select("url")), "url", "left_anti")
+                   .withColumn("html", F.lit(None).cast("binary")))
+        fetched = hits.unionByName(missing.select(*hits.columns))
+        parsed = PS.parse_pages(fetched).persist()
+        (parsed.withColumn("wave_id", F.lit(batch_id).cast("long"))
+         .drop("links")
+         .write.mode("append").parquet(os.path.join(out_dir, "extracted")))
+        links = PS.discovered_links(parsed, wave_id=batch_id)
+        links.write.mode("append").parquet(disc_dir)
+        parsed.unpersist()
+
+    return (disc.writeStream
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds"))

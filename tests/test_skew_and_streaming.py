@@ -99,3 +99,53 @@ def test_lineage_window_stream(spark, tmp_path):
     # end-to-end (schema + watermark + window agg) is the smoke check
     assert spark.table("lin_win").columns == [
         "window", "stage", "urls_in", "urls_out", "dedup_hits"]
+
+
+def test_streaming_drain_crawls_deeper_levels(spark, tiny_web, tmp_path):
+    """crawl_stream produces discovered/; drain_discovered_stream re-enters
+    the wave logic and walks the crawl tree (depth>=2) without the batch
+    engine — including picking up files appended by its own foreachBatch."""
+    from new_ent_crawler_spark.streaming import stream as ST
+    web_dir, _ = tiny_web
+    seed_dir = str(tmp_path / "seeds_in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(seed_dir)
+    t = pq.read_table(web_dir + "/seeds.parquet")
+    pq.write_table(t, os.path.join(seed_dir, "batch0.parquet"))
+    pages_path = web_dir + "/pages.parquet"
+
+    q1 = ST.crawl_stream(spark, seed_dir, pages_path, out_dir,
+                         str(tmp_path / "ckpt1"), trigger_seconds=1).start()
+    q2 = ST.drain_discovered_stream(spark, pages_path, out_dir,
+                                    str(tmp_path / "ckpt2"),
+                                    trigger_seconds=1).start()
+    max_depth = 0
+    try:
+        deadline = time.time() + 150
+        while time.time() < deadline:
+            try:
+                ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+                max_depth = ext.agg(F.max("depth")).collect()[0][0] or 0
+                if max_depth >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(3)
+    finally:
+        q1.stop()
+        q2.stop()
+    assert max_depth >= 2, max_depth
+
+    ext = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    # the seen-set anti-join kept the drain loop from refetching: each
+    # drained URL was extracted at most once (seeds are extracted by q1,
+    # deeper levels by q2)
+    dup = (ext.filter("depth >= 1").groupBy("url")
+           .agg(F.count("*").alias("n")).filter("n > 1").count())
+    assert dup == 0
+    # byte-identity holds on the deep-crawl path too
+    pages = spark.read.parquet(pages_path)
+    bad = (ext.filter(F.col("text").isNotNull()).alias("e")
+           .join(pages.alias("p"), "url")
+           .filter(~F.col("e.text").eqNullSafe(F.col("p.text"))).count())
+    assert bad == 0
