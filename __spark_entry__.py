@@ -855,6 +855,102 @@ def _q_salted_skew_join(spark, sf):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def _q_bloom_prune_new_keys(spark, sf):
+    """Official check of the Bloom-pruned seen-set path (operators/
+    dedup.py::filter_new_urls): candidates minus seen keys with the Bloom
+    as a pruning pre-filter.  The oracle is the plain anti-join — Bloom
+    false positives fall through to the exact join, so the result must be
+    identical (the engine's correctness rule, SURVEY.md §4)."""
+    from new_ent_crawler_spark.operators import dedup as DDUP
+    seen = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("url"))
+    cand = (_t(spark, sf, "orders")
+            .select((F.col("o_orderkey") % 3000).cast("string").alias("url"))
+            .distinct())
+    bloom = DDUP.build_bloom(seen, expected=5000)
+    return DDUP.filter_new_urls(cand, seen, bloom).select("url")
+
+
+def _q_window_range_frame(spark, sf):
+    """RANGE frame (value-based window): per user, the 5-minute trailing
+    sum of event values ordered by epoch second — peers at the same second
+    are all included, which is what distinguishes RANGE from ROWS."""
+    ev = _t(spark, sf, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(secs.alias("sec"))
+         .rangeBetween(-300, 0))
+    # quantize to centi-units before the frame sum: integral doubles sum
+    # exactly, so the windowed total is independent of the engines'
+    # frame-aggregation association order (Spark running-sum vs DuckDB
+    # segment tree)
+    q = F.round(F.col("value") * 100)
+    return ev.select("event_id", "user_id",
+                     (F.sum(q).over(w) / 100.0).alias("sum_5min"))
+
+
+def _q_time_bucket_5min(spark, sf):
+    """Tumbling 5-minute windows via F.window — the batch analogue of the
+    streaming windowed aggregation (streaming/stream.py)."""
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm")
+                    .alias("bucket"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def _q_unpivot_lang_counts(spark, sf):
+    """Wide -> long unpivot (melt) of the per-source language counts."""
+    wide = _q_pivot_lang(spark, sf)
+    langs = ["en", "zh", "de", "fr", "es"]
+    return (wide.unpivot("source", ["n_" + l for l in langs], "lang", "n")
+            .withColumn("lang", F.regexp_replace("lang", "^n_", "")))
+
+
+def _q_rank_functions(spark, sf):
+    """rank / dense_rank / percent_rank / cume_dist with a unique composite
+    sort key, so peer groups are singletons and the fractional ranks are
+    exact rationals (identical doubles in both engines)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+def _q_word_ngram_jaccard(spark, sf):
+    """Word-trigram Jaccard near-dup pairs — the cheap dedup granularity
+    (one shingle per word position, ~15x fewer rows than char-8 shingles
+    on this corpus; same posting-list plan)."""
+    return DT.word_ngram_jaccard_pairs(_t(spark, sf, "documents"),
+                                       n=3, threshold=0.5)
+
+
+def _q_top_terms_per_doc(spark, sf):
+    """Per-document top-3 terms by raw term frequency with document-
+    frequency and term tiebreaks — the TF-IDF shape with integer-only
+    ranking (no cross-engine float ordering)."""
+    d = _t(spark, sf, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(DT.normalized_text("text"), " "))
+                     .alias("term"))
+            .filter(F.length("term") > 0))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(df, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tf", "df", "rk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the round-1 driver recorded correctness
     rows for exactly the first 50 dict entries, so entries that most need a
@@ -895,8 +991,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroid_topk": _q_sim_label_centroid_topk,
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "bloom_prune_new_keys": _q_bloom_prune_new_keys,
+        "window_range_frame": _q_window_range_frame,
+        "time_bucket_5min": _q_time_bucket_5min,
+        "unpivot_lang_counts": _q_unpivot_lang_counts,
+        "rank_functions": _q_rank_functions,
+        "word_ngram_jaccard": _q_word_ngram_jaccard,
+        "top_terms_per_doc": _q_top_terms_per_doc,
         "approx_distinct_users": _q_approx_distinct,
-        # -- green in r01, kept inside the checked window ------------------
+        # -- green in r01; the first ~15 of these still fit the checked
+        #    window, the rest are re-verified by tests/test_queries.py ----
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -918,7 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_tiers": _q_range_join_tiers,
         "moving_avg_daily": _q_moving_avg_daily,
         "ntile_quartiles": _q_ntile_quartiles,
-        # -- green in r01; beyond the 50-entry window, pytest-verified -----
+        # (continued: green in r01, pytest-verified every run) -------------
         "explode_tokens": _q_explode_tokens,
         "md5_dedup_key": _q_md5_dedup_key,
         "union_keys": _q_union_keys,
@@ -1672,6 +1776,106 @@ def oracle_sql() -> dict[str, str]:
                        CAST(row_number() OVER (PARTITION BY label
                            ORDER BY sim DESC, vec_id) AS INTEGER) AS rk
                 FROM scored) WHERE rk <= 5
+        """,
+        "bloom_prune_new_keys": """
+            SELECT url FROM (
+                SELECT DISTINCT CAST(o_orderkey % 3000 AS VARCHAR) AS url
+                FROM orders) o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE CAST(c.c_custkey AS VARCHAR) = o.url)
+        """,
+        "window_range_frame": """
+            SELECT event_id, user_id,
+                   sum(round(value * 100)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) / 100.0
+                       AS sum_5min
+            FROM events
+        """,
+        "time_bucket_5min": """
+            SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+                            '%Y-%m-%d %H:%M') AS bucket,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY bucket, event_type
+        """,
+        "unpivot_lang_counts": """
+            WITH p AS (
+                SELECT source,
+                       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+                       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es
+                FROM documents GROUP BY source)
+            SELECT source, 'en' AS lang, n_en AS n FROM p
+            UNION ALL SELECT source, 'zh', n_zh FROM p
+            UNION ALL SELECT source, 'de', n_de FROM p
+            UNION ALL SELECT source, 'fr', n_fr FROM p
+            UNION ALL SELECT source, 'es', n_es FROM p
+        """,
+        "rank_functions": """
+            SELECT o_orderpriority, o_orderkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk,
+                   round(cume_dist() OVER w, 6) AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
+        "word_ngram_jaccard": f"""
+            WITH norm AS (
+                SELECT doc_id, list_filter(
+                    string_split({_NORM_SQL}, ' '),
+                    x -> length(x) > 0) AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[pos:pos+2], ' ') AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 1)) AS pos
+                      FROM norm WHERE len(toks) >= 3)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), ok AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) BETWEEN 2 AND 100
+            ), shf AS (SELECT sh.* FROM sh JOIN ok USING (shingle)
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM shf a JOIN shf b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_common * 1.0 /
+                         (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "top_terms_per_doc": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+                FROM documents
+            ), tokf AS (
+                SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tokf GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tokf GROUP BY term)
+            SELECT doc_id, term, tf, df, rk FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                           AS INTEGER) AS rk
+                FROM tf JOIN df USING (term)) WHERE rk <= 3
         """,
         # approx_distinct_users / multimodal_features: intentionally no SQL
         # oracle (engine-specific HLL sketch / stubbed codec) -> rows-only

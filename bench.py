@@ -60,18 +60,51 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _scratch_dir() -> str:
+    """tmpfs scratch when available: the crawl legs re-scan the full web
+    every wave (cache_pages=False) and write multi-GB snapshot tables; on
+    the sandbox's shared disk that I/O contends with neighbors and adds
+    2-3x run-to-run variance that steal%% never shows.  tmpfs keeps the
+    decode CPU-bound (the part that scales with executors) and makes the
+    N-vs-4N ratio measure compute, not disk luck."""
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and shutil.disk_usage(shm).free > 40 * 2**30:
+            d = os.path.join(shm, "spark_graft_bench")
+            os.makedirs(d, exist_ok=True)
+            return d
+    except OSError:
+        pass
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+
 def _bench_web(companies: int) -> str:
-    """Deterministic synthetic web for the crawl bench, cached on disk."""
+    """Deterministic synthetic web for the crawl bench, cached on disk,
+    staged to tmpfs scratch for the timed legs."""
     from new_ent_crawler_spark.synth import webgen
     n_hosts = int(os.environ.get("BENCH_HOSTS", "64"))
     per_host = max(1, companies // n_hosts)
     filler_kb = int(os.environ.get("BENCH_FILLER_KB", "24"))
+    name = f"webdata_h{n_hosts}_c{per_host}_f{filler_kb}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH", f"webdata_h{n_hosts}_c{per_host}_f{filler_kb}")
+                       "BENCH", name)
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         webgen.generate(out, n_hosts=n_hosts, companies_per_host=per_host,
                         seed=42, filler_kb=filler_kb)
+    scratch = _scratch_dir()
+    if scratch != os.path.dirname(out):
+        staged = os.path.join(scratch, name)
+        if not os.path.exists(os.path.join(staged, "pages.parquet")):
+            shutil.copytree(out, staged, dirs_exist_ok=True)
+        return staged
     return out
+
+
+def _cpu_ticks():
+    try:
+        return list(map(int, open("/proc/stat").readline().split()[1:]))
+    except OSError:
+        return None
 
 
 def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
@@ -79,8 +112,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
 
     from new_ent_crawler_spark.plans.wave import WaveEngine
     spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus, shuffle_partitions=64)
-    work = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", f"work_{tag}")
+    work = os.path.join(_scratch_dir(), f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
     per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "4800"))
     # cache_pages=False is the representative config: no cluster caches a
@@ -91,15 +123,25 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     eng = WaveEngine(spark, web_dir, work, per_host_k=per_host_k,
                      max_waves=40, cache_pages=False,
                      expected_total_urls=2_000_000, salt_buckets=16)
+    ticks0 = _cpu_ticks()
     t0 = time.perf_counter()
     stats = eng.run(resume=False)
     elapsed = time.perf_counter() - t0
+    ticks1 = _cpu_ticks()
     n_parsed = (eng.extracted().count())
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
-    return {"cpus": cpus, "seconds": round(elapsed, 2),
-            "urls_parsed": n_parsed, "waves": len(stats),
-            "urls_per_sec": round(n_parsed / elapsed, 1)}
+    out = {"cpus": cpus, "seconds": round(elapsed, 2),
+           "urls_parsed": n_parsed, "waves": len(stats),
+           "urls_per_sec": round(n_parsed / elapsed, 1)}
+    if ticks0 and ticks1:
+        d = [b - a for a, b in zip(ticks0, ticks1)]
+        tot = sum(d) or 1
+        # host contention markers for this leg: a high steal%% or iowait%%
+        # flags the measurement as contaminated (min-of-N then discards it)
+        out["steal_pct"] = round(100 * d[7] / tot, 1)
+        out["iowait_pct"] = round(100 * d[4] / tot, 1)
+    return out
 
 
 def main():

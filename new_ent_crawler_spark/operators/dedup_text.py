@@ -56,23 +56,33 @@ def shingles(docs: DataFrame, id_col="doc_id", text_col="text",
             .distinct())
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
-                        threshold: float = 0.8,
-                        max_shingle_freq: int = 100) -> DataFrame:
-    """Near-duplicate pairs by exact Jaccard over k-shingles.
+def word_shingles(docs: DataFrame, id_col="doc_id", text_col="text",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document.  ~10-50x fewer rows than
+    character shingles on the same corpus (one row per word position
+    instead of per character position) — the cheap path when the dedup
+    granularity of whole-word phrases is acceptable."""
+    toks = F.filter(F.split(normalized_text(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    return (docs
+            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select("doc_id",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i, n))))
+                    .alias("shingle"))
+            .distinct())
 
-    Candidate generation is the shingle self-join; shingles shared by more
-    than ``max_shingle_freq`` docs are dropped first (they would square the
-    join) — the standard frequency cut, logged in the plan as a broadcast
-    filter.
-    """
-    sh = shingles(docs, k=k).persist()
+
+def jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
+                                max_shingle_freq: int) -> DataFrame:
+    """Posting-list Jaccard over any (doc_id, shingle) relation: ONE shuffle
+    by shingle builds the posting lists, pair counts come from a bucket-
+    local double-explode bounded by ``max_shingle_freq``^2, then sizes join
+    back.  Shared by the char-shingle and word-shingle entry points."""
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # bucket formulation: ONE shuffle by shingle builds the posting list;
-    # pair generation is a local double-explode inside each bucket (bounded
-    # by max_shingle_freq^2), not a second shuffled self-join of the full
-    # shingle table.  Singleton shingles are dropped — they can't witness
-    # a pair.
     buckets = (sh.groupBy("shingle")
                .agg(F.collect_set("doc_id").alias("docs"))
                .filter((F.size("docs") >= 2)
@@ -84,14 +94,38 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard",
                         F.col("n_common").cast("double")
                         / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def word_ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                             threshold: float = 0.5,
+                             max_shingle_freq: int = 100) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over word n-grams."""
+    return jaccard_pairs_from_shingles(word_shingles(docs, n=n),
+                                       threshold, max_shingle_freq)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
+                        threshold: float = 0.8,
+                        max_shingle_freq: int = 100) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over k-shingles.
+
+    Candidate generation is the shingle self-join; shingles shared by more
+    than ``max_shingle_freq`` docs are dropped first (they would square the
+    join) — the standard frequency cut, logged in the plan as a broadcast
+    filter.
+    """
+    return jaccard_pairs_from_shingles(shingles(docs, k=k),
+                                       threshold, max_shingle_freq)
 
 
 def _hash64(col, seed: int):

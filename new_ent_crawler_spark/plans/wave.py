@@ -228,7 +228,13 @@ class WaveEngine:
                            F.lit(False).alias("blocked"),
                            F.lit(None).cast("string").alias("text"),
                            F.lit(None).cast(link_t).alias("links")))
-        parsed = parsed_hits.unionByName(missing)
+        # coalesce the (tiny, often empty) miss branch before the union:
+        # claimed carries the dequeue's shuffle partitioning, and a union
+        # has no exchange boundary for AQE to coalesce, so without this
+        # every downstream stage of `parsed` would run parse-partitions +
+        # shuffle-partitions near-empty tasks per wave — pure scheduler
+        # fixed cost that does not shrink with executors
+        parsed = parsed_hits.unionByName(missing.coalesce(1))
 
         # extracted text (judged bytes) + crawl-order log columns
         self.extracted_t.append(
@@ -244,36 +250,42 @@ class WaveEngine:
         candidates = candidates.persist()
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
                                       self._bloom).persist()
-        # one job materializes both caches and yields both counters —
-        # per-wave fixed job count is what bounds scaling once the parse
-        # stage is fast (Amdahl), so small actions are fused
-        cnts = {r.k: r.n for r in
-                candidates.agg(F.count("*").alias("n"))
-                .withColumn("k", F.lit("cand"))
-                .unionByName(new_urls.agg(F.count("*").alias("n"))
-                             .withColumn("k", F.lit("new")))
-                .collect()}
-        n_candidates, n_new = cnts["cand"], cnts["new"]
+        # ONE control-collect job materializes both caches and yields the
+        # candidate/new counters, the per-partition lineage counters, and
+        # the blocked-host set — per-wave fixed job count is what bounds
+        # scaling once the parse stage is fast (Amdahl), so every small
+        # action is fused into this single generic-schema collect
+        ctrl = (parsed
+                .groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("a"),
+                     F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("b"),
+                     F.concat_ws(
+                         "\x01",
+                         F.collect_set(F.when(F.col("blocked"),
+                                              F.col("host")))).alias("s"))
+                .select(F.lit("parse").alias("kind"), "pid", "a", "b", "s")
+                .unionByName(candidates.agg(F.count("*").alias("a")).select(
+                    F.lit("cand").alias("kind"), F.lit(-1).alias("pid"),
+                    "a", F.lit(0).cast("long").alias("b"),
+                    F.lit("").alias("s")))
+                .unionByName(new_urls.agg(F.count("*").alias("a")).select(
+                    F.lit("new").alias("kind"), F.lit(-1).alias("pid"),
+                    "a", F.lit(0).cast("long").alias("b"),
+                    F.lit("").alias("s")))
+                .collect())
+        n_candidates = next(r.a for r in ctrl if r.kind == "cand")
+        n_new = next(r.a for r in ctrl if r.kind == "new")
+        blocked = set()
+        for r in ctrl:
+            if r.kind == "parse" and r.s:
+                blocked.update(r.s.split("\x01"))
         t0 = _t("candidates_dedup", t0)
 
-        # ONE aggregate over the persisted parse output yields both the
-        # per-partition lineage counters AND the blocked-host set; the
-        # lineage rows themselves (a handful of counters per wave) commit
-        # driver-side — no Spark write job
-        pl_rows = (parsed
-                   .groupBy(F.spark_partition_id().alias("pid"))
-                   .agg(F.count("*").alias("urls_in"),
-                        F.sum(F.coalesce(F.size("links"), F.lit(0)))
-                        .alias("urls_out"),
-                        F.collect_set(F.when(F.col("blocked"), F.col("host")))
-                        .alias("blocked_hosts"))
-                   .collect())
-        blocked = set()
-        for r in pl_rows:
-            blocked.update(r.blocked_hosts)
+        # lineage rows (a handful of counters per wave) commit driver-side
+        # — no Spark write job
         now = datetime.now(timezone.utc)
-        lin = [(wave, "parse", r.pid, r.urls_in, r.urls_out, 0, now)
-               for r in pl_rows]
+        lin = [(wave, "parse", r.pid, r.a, r.b, 0, now)
+               for r in ctrl if r.kind == "parse"]
         lin.append((wave, "dedup", -1, n_candidates, n_new,
                     n_candidates - n_new, now))
         self.lineage_t.append_rows(lin, LINEAGE_PA, meta={"wave": wave})

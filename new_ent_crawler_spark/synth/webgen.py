@@ -420,7 +420,17 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    # row_group_size matters enormously: pyarrow's default (1M rows) makes
+    # one multi-GB row group, and a parquet row group is the unit of
+    # parallel scan — a single group means every Spark scan of the table
+    # runs ONE task no matter how many executors exist (it silently
+    # serialized the per-wave fetch probe and capped crawl scaling).
+    # ~4k pages x ~14 KB ≈ 32-64 MB per group, splitting cleanly under
+    # spark.sql.files.maxPartitionBytes=128MB.
+    # zstd matches the engine's own table writes and models compressed
+    # web-archive storage (CPU-bound decode on scan)
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=4096, compression="zstd")
 
     seeds_tbl = pa.table({
         "keyword": pa.array([s["keyword"] for s in seeds], pa.string()),
