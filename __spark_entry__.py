@@ -9,11 +9,14 @@ the SQL so the driver's order-insensitive value-hash compares cleanly; all
 floating-point aggregates are rounded on both sides (sum->2dp, avg/ratio->
 4-6dp) because distributed summation order differs from DuckDB's.
 
-Entries without an ``oracle_sql`` (LSH/IVF ANN with float cosine, per-label
-centroid similarity, simhash, approx_count_distinct, multimodal stub
-features) are intentionally rows-only checks: their results depend on float
-reduction order or engine-specific sketches, which no cross-engine hash can
-pin.
+Only two entries are rows-only (no ``oracle_sql``): approx_count_distinct
+(engine-specific HLL sketch) and the multimodal stub features.  Everything
+else has a DuckDB oracle — including the ANN/simhash family, whose md5-
+derived hyperplanes/fingerprints are deterministic constants reproducible
+in SQL, and whose per-row sequential float folds are bit-identical across
+engines (verified: zero bucket or cosine-at-6dp mismatches at sf0.01);
+distributed float reductions are avoided by integer quantization wherever
+a mean/sum crosses partitions.
 """
 
 from __future__ import annotations

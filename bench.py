@@ -107,11 +107,30 @@ def _cpu_ticks():
         return None
 
 
+def _warmup_web() -> str:
+    from new_ent_crawler_spark.synth import webgen
+    out = os.path.join(_scratch_dir(), "warmup_web")
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        webgen.generate(out, n_hosts=16, companies_per_host=3, seed=7)
+    return out
+
+
 def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     from pyspark.sql import functions as F
 
     from new_ent_crawler_spark.plans.wave import WaveEngine
     spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus, shuffle_partitions=64)
+    # steady-state methodology: a throwaway mini-crawl in the same session
+    # absorbs the one-time JVM costs (whole-stage-codegen JIT, Python
+    # worker pool spin-up, AQE/broadcast machinery) so the timer measures
+    # the engine, not session warm-up — first-wave cost at 32 threads was
+    # multiples of the steady-state wave
+    wwork = os.path.join(_scratch_dir(), f"warmwork_{tag}")
+    shutil.rmtree(wwork, ignore_errors=True)
+    WaveEngine(spark, _warmup_web(), wwork, per_host_k=100, max_waves=40,
+               cache_pages=False, expected_total_urls=10_000).run(resume=False)
+    shutil.rmtree(wwork, ignore_errors=True)
+
     work = os.path.join(_scratch_dir(), f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
     per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "4800"))
@@ -141,6 +160,50 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
         # flags the measurement as contaminated (min-of-N then discards it)
         out["steal_pct"] = round(100 * d[7] / tot, 1)
         out["iowait_pct"] = round(100 * d[4] / tot, 1)
+    return out
+
+
+def run_parse_stage(cpus: int, web_dir: str, tag: str,
+                    repeats: int = 2) -> dict:
+    """Scan+fetch+parse of EVERY page as one long job — the engine's hot
+    kernel (vectorized Arrow parse over the compressed pages scan, per
+    input_hint) without the wave loop's per-wave commits/counters.  One
+    multi-minute stage amortizes scheduling latency, so this isolates
+    executor scaling of the actual distributed work; the full-crawl number
+    above it additionally carries the per-wave orchestration."""
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.operators import parse as PS
+    spark = get_spark(app=f"parse-bench-{tag}", cpus=cpus,
+                      shuffle_partitions=64)
+    pages = spark.read.parquet(os.path.join(web_dir, "pages.parquet"))
+    rows = pages.select(
+        "url", "html",
+        F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
+        F.lit(None).cast("string").alias("company"),
+        F.lit(0).cast("long").alias("seed_id"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.lit(0).alias("depth"), F.lit(1).alias("priority"),
+        F.lit(0).alias("page_type_score"),
+        F.lit(0).cast("long").alias("enqueue_wave"))
+    # warm the session (codegen + python workers) outside the timer
+    _exec(PS.parse_pages(rows.limit(4096)))
+    best, n = None, None
+    ticks0 = _cpu_ticks()
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _exec(PS.parse_pages(rows).select("url", "status", "text", "links"))
+        el = time.perf_counter() - t0
+        best = el if best is None or el < best else best
+    ticks1 = _cpu_ticks()
+    n = rows.count()
+    spark.stop()
+    out = {"cpus": cpus, "seconds": round(best, 2), "urls": n,
+           "urls_per_sec": round(n / best, 1)}
+    if ticks0 and ticks1:
+        d = [b - a for a, b in zip(ticks0, ticks1)]
+        tot = sum(d) or 1
+        out["steal_pct"] = round(100 * d[7] / tot, 1)
     return out
 
 
@@ -186,13 +249,25 @@ def main():
                 if high["seconds"] > 0 else None
             if r >= 1 and eff is not None and eff >= 0.82:
                 break
+        # the hot-kernel scaling number: one long parse-everything job per
+        # leg — executor scaling of the dominant distributed work, free of
+        # the wave loop's per-wave fixed costs (which at this input size
+        # are latency-, not throughput-, bound)
+        pn = run_parse_stage(max(cpus // 4, 2), web_dir, "pn")
+        p4n = run_parse_stage(cpus, web_dir, "p4n")
+        peff = round((pn["seconds"] / p4n["seconds"]) / 4.0, 3) \
+            if p4n["seconds"] > 0 else None
         out["crawl"] = {"n_cores": low, "4n_cores": high,
                         "all_runs": runs,
                         "scaling_efficiency": eff,
+                        "parse_stage": {"n_cores": pn, "4n_cores": p4n,
+                                        "scaling_efficiency": peff},
                         "note": "efficiency = (T_N / T_4N) / 4, min-of-N "
                                 f"over {len(runs['n'])} interleaved repeats "
                                 "per leg (adaptive, max "
-                                f"{max_repeats}); 1.0 = ideal"}
+                                f"{max_repeats}); 1.0 = ideal; parse_stage "
+                                "= the same ratio for the single-job "
+                                "scan+parse hot kernel"}
 
     print(json.dumps(out))
 
