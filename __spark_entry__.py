@@ -488,6 +488,19 @@ def _q_multimodal_features(spark, sf):
                         feat_sig.alias("feature_sig"))
 
 
+def _q_bmp_decode_features(spark, sf):
+    """REAL image-codec path: per doc, synthesize a deterministic 4x4
+    24-bpp BMP worker-side, round-trip it through the pure-numpy
+    encode_bmp/decode_image pair (operators/multimodal.py), and emit
+    per-channel pixel sums + the md5 of the decoded RGB hex.  The oracle
+    reproduces the identical values from md5 string arithmetic, so BGR
+    ordering, the bottom-up row flip, and stride handling are all
+    hash-checked."""
+    from new_ent_crawler_spark.operators import multimodal as MM
+    return MM.bmp_roundtrip_features(
+        _t(spark, sf, "documents").select("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # temporal joins, window frames, extended TPC-H, set ops, string/array suite
 # --------------------------------------------------------------------------
@@ -955,69 +968,15 @@ def _q_top_terms_per_doc(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: the round-1 driver recorded correctness
-    rows for exactly the first 50 dict entries, so entries that most need a
-    fresh official check this round (never-checked in r01, fixed since r01,
-    or newly added/oracled) come first; entries 51+ all have green r01 rows
-    AND are re-verified every run by tests/test_queries.py with the same
-    compare."""
+    """Registry order is deliberate: the driver records official correctness
+    rows for exactly the first 50 dict entries each round.  Round-3
+    rotation: the 26 entries whose most recent official green row is r01
+    (registry positions 51-76 in round 2) come first so every entry has a
+    green row within the last two CORRECTNESS files; the 50 entries checked
+    green in r02 follow.  ALL oracled entries are additionally re-verified
+    every run by tests/test_queries.py with the driver-parity compare."""
     return {
-        # -- never checked by the r01 driver run (registry positions 51+) --
-        "tpch_q12ish": _q_tpch_q12ish,
-        "tpch_q14ish": _q_tpch_q14ish,
-        "tpch_q17ish": _q_tpch_q17ish,
-        "tpch_q18ish": _q_tpch_q18ish,
-        "tpch_q19ish": _q_tpch_q19ish,
-        "tpch_q22ish": _q_tpch_q22ish,
-        "top_supplier_revenue": _q_top_supplier_revenue,
-        "grouping_sets_daily": _q_grouping_sets_daily,
-        "intersect_except_keys": _q_intersect_except,
-        "string_funcs": _q_string_funcs,
-        "array_token_stats": _q_array_token_stats,
-        "value_histogram": _q_value_histogram,
-        "corr_value_ts": _q_corr_value_ts,
-        "embedding_pair_topk": _q_embedding_pair_topk,
-        "salted_skew_join": _q_salted_skew_join,
-        "lang_id_confusion": _q_lang_id_confusion,
-        "map_pivot_user": _q_map_pivot_user,
-        "hof_order_prices": _q_hof_order_prices,
-        # -- hash-failed in r01, oracle types fixed since ------------------
-        "json_extract_props": _q_json_extract,
-        "sessionize_users": _q_sessionize,
-        "pivot_lang_counts": _q_pivot_lang,
-        "running_total_daily": _q_running_total_daily,
-        # -- hard-errored in r01, output canon-safe since ------------------
-        "multimodal_features": _q_multimodal_features,
-        # -- newly oracled / newly added this round ------------------------
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "sim_label_centroid_topk": _q_sim_label_centroid_topk,
-        "simhash_groups": _q_simhash_groups,
-        "simhash_near_pairs": _q_simhash_near_pairs,
-        "bloom_prune_new_keys": _q_bloom_prune_new_keys,
-        "window_range_frame": _q_window_range_frame,
-        "time_bucket_5min": _q_time_bucket_5min,
-        "unpivot_lang_counts": _q_unpivot_lang_counts,
-        "rank_functions": _q_rank_functions,
-        "word_ngram_jaccard": _q_word_ngram_jaccard,
-        "top_terms_per_doc": _q_top_terms_per_doc,
-        "approx_distinct_users": _q_approx_distinct,
-        # -- green in r01; the first ~15 of these still fit the checked
-        #    window, the rest are re-verified by tests/test_queries.py ----
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5ish": _q_tpch_q5ish,
-        "tpch_q4ish": _q_tpch_q4ish,
-        "tpch_q6": _q_tpch_q6,
-        "frontier_topk_per_host": _q_frontier_topk_per_host,
-        "wave_priority_dequeue": _q_wave_priority_dequeue,
-        "dedup_last_writer_wins": _q_dedup_last_writer_wins,
-        "seen_set_anti_join": _q_seen_set_anti_join,
-        "semi_join_active": _q_semi_join_active,
-        "broadcast_dim_join": _q_broadcast_dim_join,
-        "fanout_rejoin": _q_fanout_rejoin,
-        "dedup_exact": _q_dedup_exact,
-        "minhash_signatures": _q_minhash_signatures,
+        # -- last official green row is r01 (rotated to the checked window)
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "sim_brute_topk": _q_sim_brute_topk,
@@ -1025,7 +984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_tiers": _q_range_join_tiers,
         "moving_avg_daily": _q_moving_avg_daily,
         "ntile_quartiles": _q_ntile_quartiles,
-        # (continued: green in r01, pytest-verified every run) -------------
         "explode_tokens": _q_explode_tokens,
         "md5_dedup_key": _q_md5_dedup_key,
         "union_keys": _q_union_keys,
@@ -1045,6 +1003,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_by_event": _q_max_by,
         "lag_delta_user": _q_lag_delta_user,
         "first_last_event": _q_first_last_event,
+        # -- new this round ------------------------------------------------
+        "bmp_decode_features": _q_bmp_decode_features,
+        # -- green in r02; the first ~23 still fit the checked window, the
+        #    rest are re-verified by tests/test_queries.py every run -------
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "tpch_q4ish": _q_tpch_q4ish,
+        "tpch_q6": _q_tpch_q6,
+        "frontier_topk_per_host": _q_frontier_topk_per_host,
+        "wave_priority_dequeue": _q_wave_priority_dequeue,
+        "dedup_last_writer_wins": _q_dedup_last_writer_wins,
+        "seen_set_anti_join": _q_seen_set_anti_join,
+        "semi_join_active": _q_semi_join_active,
+        "broadcast_dim_join": _q_broadcast_dim_join,
+        "fanout_rejoin": _q_fanout_rejoin,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash_groups": _q_simhash_groups,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "bloom_prune_new_keys": _q_bloom_prune_new_keys,
+        "word_ngram_jaccard": _q_word_ngram_jaccard,
+        "top_terms_per_doc": _q_top_terms_per_doc,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "sim_label_centroid_topk": _q_sim_label_centroid_topk,
+        "embedding_pair_topk": _q_embedding_pair_topk,
+        "tpch_q12ish": _q_tpch_q12ish,
+        "tpch_q14ish": _q_tpch_q14ish,
+        "tpch_q17ish": _q_tpch_q17ish,
+        "tpch_q18ish": _q_tpch_q18ish,
+        "tpch_q19ish": _q_tpch_q19ish,
+        "tpch_q22ish": _q_tpch_q22ish,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "grouping_sets_daily": _q_grouping_sets_daily,
+        "intersect_except_keys": _q_intersect_except,
+        "string_funcs": _q_string_funcs,
+        "array_token_stats": _q_array_token_stats,
+        "value_histogram": _q_value_histogram,
+        "corr_value_ts": _q_corr_value_ts,
+        "salted_skew_join": _q_salted_skew_join,
+        "lang_id_confusion": _q_lang_id_confusion,
+        "map_pivot_user": _q_map_pivot_user,
+        "hof_order_prices": _q_hof_order_prices,
+        "json_extract_props": _q_json_extract,
+        "sessionize_users": _q_sessionize,
+        "pivot_lang_counts": _q_pivot_lang,
+        "running_total_daily": _q_running_total_daily,
+        "multimodal_features": _q_multimodal_features,
+        "window_range_frame": _q_window_range_frame,
+        "time_bucket_5min": _q_time_bucket_5min,
+        "unpivot_lang_counts": _q_unpivot_lang_counts,
+        "rank_functions": _q_rank_functions,
+        "approx_distinct_users": _q_approx_distinct,
     }
 
 
@@ -1879,6 +1891,36 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
                            AS INTEGER) AS rk
                 FROM tf JOIN df USING (term)) WHERE rk <= 3
+        """,
+        # The BMP round-trip oracle rebuilds the decoded image from pure
+        # md5 string arithmetic: row y's 12 pixel bytes are the first 12
+        # bytes of md5('<doc_id>:<y>') stored as BGR triples, so byte j is
+        # CAST('0x' || substr(hex, 2j+1, 2) AS BIGINT) and the RGB hex of
+        # pixel x is the three byte-hex pairs re-ordered R,G,B.  Any codec
+        # defect (channel order, bottom-up flip, stride) breaks px_md5.
+        "bmp_decode_features": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            rows_ AS (
+                SELECT doc_id, y,
+                       md5(CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(y AS VARCHAR)) AS hx
+                FROM ids, (SELECT unnest(range(0, 4)) AS y)
+            ), px AS (
+                SELECT doc_id, y, x,
+                       CAST('0x' || substr(hx, 6*x+5, 2) AS BIGINT) AS r,
+                       CAST('0x' || substr(hx, 6*x+3, 2) AS BIGINT) AS g,
+                       CAST('0x' || substr(hx, 6*x+1, 2) AS BIGINT) AS b,
+                       substr(hx, 6*x+5, 2) || substr(hx, 6*x+3, 2)
+                           || substr(hx, 6*x+1, 2) AS rgb_hex
+                FROM rows_, (SELECT unnest(range(0, 4)) AS x)
+            )
+            SELECT doc_id,
+                   4 AS width, 4 AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   md5(string_agg(rgb_hex, '' ORDER BY y, x)) AS px_md5
+            FROM px GROUP BY doc_id
         """,
         # approx_distinct_users / multimodal_features: intentionally no SQL
         # oracle (engine-specific HLL sketch / stubbed codec) -> rows-only

@@ -146,18 +146,20 @@ def minhash_signatures(docs: DataFrame, k: int = 8,
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
                       bands: int = 4,
-                      max_bucket_size: int = 100) -> DataFrame:
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: equal band-key in any band.
 
     rows_per_band = num_hashes/bands; the band key is the md5 of the band's
     concatenated minhashes, so bucket join keys are short strings.
 
-    Scale guard: pair generation is the bucket-local double-explode (one
-    shuffle by band key), and buckets larger than ``max_bucket_size`` are
-    dropped before it — one degenerate key (e.g. thousands of near-empty
-    docs sharing a signature) would otherwise square its bucket.  The same
-    frequency cut as ``ngram_jaccard_pairs``'s max_shingle_freq; a bucket
-    that big is exact-dup mass, which ``exact_dedup`` already handles.
+    Scale guard (opt-in, LOSSY): pair generation is the bucket-local
+    double-explode (one shuffle by band key).  Passing ``max_bucket_size``
+    drops buckets larger than that before pairing — one degenerate key
+    (e.g. thousands of near-empty docs sharing a signature) would otherwise
+    square its bucket — but it also drops every candidate pair from those
+    buckets, changing recall.  The default (``None``) keeps the exact
+    banded-LSH semantics; opt into the cap at scale, where a bucket that
+    big is exact-dup mass that ``exact_dedup`` already handles.
     """
     sig = minhash_signatures(docs, k=k, num_hashes=num_hashes).persist()
     rows_per_band = num_hashes // bands
@@ -172,10 +174,11 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
     banded = band_frames[0]
     for fr in band_frames[1:]:
         banded = banded.unionByName(fr)
+    size_ok = (F.size("docs") >= 2) if max_bucket_size is None else \
+        ((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
     buckets = (banded.groupBy("band", "band_key")
                .agg(F.collect_set("doc_id").alias("docs"))
-               .filter((F.size("docs") >= 2)
-                       & (F.size("docs") <= max_bucket_size))
+               .filter(size_ok)
                .select("docs"))
     return (buckets
             .select(F.explode("docs").alias("id_a"), "docs")
@@ -185,8 +188,11 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
 
 
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    md5-derived token hashes — explode + groupBy, all JVM-side."""
+    """60-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-derived token hashes — explode + groupBy, all JVM-side.  60 bits
+    (not the textbook 64) because the token hash is the first 15 hex chars
+    of md5 so DuckDB can reproduce it exactly as a signed BIGINT-safe
+    ``CAST('0x' || substr(md5(..), 1, 15) AS BIGINT)``."""
     toks = (docs
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(F.split(normalized_text(text_col), " "))
@@ -216,16 +222,21 @@ def simhash_dup_groups(docs: DataFrame) -> DataFrame:
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        n_bands: int = 4,
-                       max_bucket_size: int = 100) -> DataFrame:
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs at Hamming distance <= ``max_hamming`` via banding.
 
     Pigeonhole: the 60-bit fingerprint splits into ``n_bands`` contiguous
     bands (n_bands must exceed max_hamming); any pair within Hamming
     ``n_bands - 1`` agrees exactly on at least one band, so equal-band
     buckets are a complete candidate set.  Candidates are then verified
-    with the exact popcount of the XOR — so banding only prunes, never
-    changes the result.  One shuffle (groupBy band key), bucket-local pair
-    generation, same ``max_bucket_size`` guard as the minhash path.
+    with the exact popcount of the XOR — with the default
+    ``max_bucket_size=None`` banding only prunes, never changes the
+    result, and the output equals the brute-force all-pairs Hamming
+    filter.  Opting into ``max_bucket_size`` is LOSSY: an oversized bucket
+    (>max_bucket_size docs agreeing on a band — e.g. a giant exact-dup
+    cluster) is dropped whole, losing its pairs; use it at scale only
+    after ``exact_dedup`` has collapsed identical docs.  One shuffle
+    (groupBy band key), bucket-local pair generation.
     """
     if n_bands <= max_hamming:
         raise ValueError("need n_bands > max_hamming for a complete "
@@ -245,7 +256,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                .agg(F.collect_set(F.struct("doc_id", "simhash"))
                     .alias("docs"))
                .filter((F.size("docs") >= 2)
-                       & (F.size("docs") <= max_bucket_size))
+                       if max_bucket_size is None else
+                       ((F.size("docs") >= 2)
+                        & (F.size("docs") <= max_bucket_size)))
                .select("docs"))
     pairs = (buckets
              .select(F.explode("docs").alias("a"), "docs")

@@ -1,0 +1,116 @@
+"""Real-codec tests: the pure-numpy BMP/PPM decoders against golden,
+hand-constructed fixtures, plus the Spark round-trip feature operator and
+the HLL approx-distinct tolerance bound (VERDICT r02 asks #5 and #7)."""
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from new_ent_crawler_spark.operators import multimodal as MM
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+# -- golden BMP fixture: 2x2, hand-assembled byte-by-byte -------------------
+
+def _golden_bmp():
+    """Bottom-up 24-bpp BMP of [[red, green], [blue, white]] (top-down RGB),
+    assembled manually so the test does not trust encode_bmp."""
+    w = h = 2
+    stride = 8  # 2 px * 3 B = 6, padded to 8
+    # bottom-up: file row 0 = image row 1 = [blue, white]; BGR order
+    row_bot = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+    row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    header = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            stride * h, 2835, 2835, 0, 0))
+    return header + row_bot + row_top
+
+
+GOLDEN_PIXELS = np.array([[[255, 0, 0], [0, 255, 0]],
+                          [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8)
+
+
+def test_decode_bmp_golden_fixture():
+    out = MM.decode_bmp(_golden_bmp())
+    assert out.shape == (2, 2, 3)
+    assert (out == GOLDEN_PIXELS).all()
+
+
+def test_decode_bmp_top_down_variant():
+    """Negative biHeight = top-down row order; same pixels, no flip."""
+    b = bytearray(_golden_bmp())
+    struct.pack_into("<i", b, 22, -2)  # biHeight = -2
+    # rows are now interpreted top-down: swap them to keep the same image
+    b[54:62], b[62:70] = b[62:70], b[54:62]
+    out = MM.decode_bmp(bytes(b))
+    assert (out == GOLDEN_PIXELS).all()
+
+
+def test_encode_decode_bmp_roundtrip_with_stride_padding():
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (3, 2), (5, 4), (8, 8)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (MM.decode_bmp(MM.encode_bmp(px)) == px).all(), (w, h)
+
+
+def test_decode_bmp_rejects_compressed_and_truncated():
+    b = bytearray(_golden_bmp())
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(bytes(b))
+    with pytest.raises(ValueError):
+        MM.decode_bmp(_golden_bmp()[:40])
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"XX" + _golden_bmp()[2:])
+
+
+def test_decode_ppm_golden_with_comment():
+    raster = GOLDEN_PIXELS.tobytes()
+    payload = b"P6\n# a comment\n2 2\n255\n" + raster
+    out = MM.decode_ppm(payload)
+    assert (out == GOLDEN_PIXELS).all()
+    with pytest.raises(NotImplementedError):
+        MM.decode_ppm(b"P6\n2 2\n65535\n" + raster * 2)
+
+
+def test_decode_image_dispatch():
+    assert (MM.decode_image(_golden_bmp()) == GOLDEN_PIXELS).all()
+    assert (MM.decode_image(b"P6\n2 2\n255\n" + GOLDEN_PIXELS.tobytes())
+            == GOLDEN_PIXELS).all()
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_bmp_roundtrip_features_matches_hand_computation(spark):
+    df = spark.createDataFrame([(17,), (99,)], "doc_id long")
+    rows = {r.doc_id: r for r in MM.bmp_roundtrip_features(df).collect()}
+    for did in (17, 99):
+        # independent reconstruction straight from the md5 spec
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        for y in range(4):
+            raw = hashlib.md5(f"{did}:{y}".encode()).digest()[:12]
+            px[y] = np.frombuffer(raw, np.uint8).reshape(4, 3)[:, ::-1]
+        r = rows[did]
+        assert (r.width, r.height) == (4, 4)
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        assert (r.sum_r, r.sum_g, r.sum_b) == (s[0], s[1], s[2])
+        assert r.px_md5 == hashlib.md5(
+            px.tobytes().hex().encode()).hexdigest()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL estimate vs exact count(DISTINCT): within ±5% per group —
+    upgrades the rows-only driver row to a bounded local check."""
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    got = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id").alias("approx"),
+                F.countDistinct("user_id").alias("exact"))
+           .collect())
+    assert got
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact), r
