@@ -11,7 +11,9 @@ Four strategies over ``documents(doc_id, text, ...)``, each shaped for the
 * minhash-LSH  — shingle → K minhashes → band buckets → bucket self-join;
                  only same-bucket pairs are compared, so the join blows up
                  with collisions, not n².
-* simhash      — 64-bit majority-vote fingerprint; near-dups = equal
+* simhash      — 60-bit majority-vote fingerprint (60, not 64, so the
+                 DuckDB oracle can rebuild it from 15 md5 hex chars in a
+                 signed BIGINT); near-dups = equal
                  fingerprints on rotated band keys (Hamming ≤ k by banding).
 
 Hash functions are md5-derived so the DuckDB oracle can reproduce the exact

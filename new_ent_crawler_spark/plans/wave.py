@@ -40,7 +40,7 @@ from ..operators import dedup as DD
 from ..operators import frontier as FR
 from ..operators import parse as PS
 from ..operators import politeness as PL
-from ..sources.snapshot import SnapshotTable
+from ..sources.snapshot import DeltaTable, SnapshotTable
 
 ORDER_COLS = ["priority", "depth", "page_type_score", "enqueue_wave", "url"]
 
@@ -67,7 +67,7 @@ class WaveEngine:
                  salt_buckets: int = 8, max_attempts: int = 3,
                  expected_total_urls: int = 1_000_000,
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
-                 cache_pages: bool = True):
+                 cache_pages: bool = True, compact_every: int = 8):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -82,8 +82,13 @@ class WaveEngine:
         # at 100 TB you would NOT cache — an Iceberg pages table bucketed by
         # url lets the per-wave broadcast probe prune to claimed buckets
         self.cache_pages = cache_pages
+        # frontier commits are merge-on-read deltas (O(wave) per wave, not
+        # O(frontier)); fold them into a fresh base every `compact_every`
+        # waves so the read-side merge stays a broadcast-sized anti-join
+        self.compact_every = compact_every
 
-        self.frontier_t = SnapshotTable(os.path.join(work_dir, "frontier"))
+        self.frontier_t = DeltaTable(os.path.join(work_dir, "frontier"),
+                                     key_col="url")
         self.budgets_t = SnapshotTable(os.path.join(work_dir, "budgets"))
         self.extracted_t = SnapshotTable(os.path.join(work_dir, "extracted"))
         self.lineage_t = SnapshotTable(os.path.join(work_dir, "lineage"))
@@ -298,18 +303,29 @@ class WaveEngine:
         self._commit_budgets(wave)
 
         t0 = _t("budgets", t0)
-        # MERGE statuses + append new pending rows; frontier commit is the
-        # wave's atomic commit point
-        updates = parsed.select("url", "status")
-        merged = FR.merge_status(frontier, updates)
-        new_rows = new_urls.select(*FR.FRONTIER_COLS)
-        # keep the frontier in a handful of files (small snapshots re-read
-        # every wave; Iceberg would compact via bin-packing) but never below
-        # core count — a coalesce propagates up and would throttle the merge
-        # join on the wider session
-        self.frontier_t.overwrite(
-            merged.unionByName(new_rows).coalesce(max(16, cores)),
-            meta={"wave": wave})
+        # frontier commit = one O(wave) merge-on-read delta: the claimed
+        # rows with their post-parse status (crawler_count+1, the MERGE
+        # semantics of FR.merge_status expressed as upsert rows) plus the
+        # newly discovered pending rows.  The old copy-on-write path
+        # rewrote the whole frontier every wave — O(frontier) write and an
+        # O(frontier) shuffle join, the dominant per-wave fixed cost once
+        # the parse stage is fast.  The delta is bounded by the politeness
+        # budgets, so at 10^10-frontier scale this write stays wave-sized.
+        claim_upd = (claimed
+                     .select(*[c for c in FR.FRONTIER_COLS
+                               if c not in ("status", "crawler_count")],
+                             (F.col("crawler_count") + 1).cast("int")
+                             .alias("crawler_count"))
+                     .join(parsed.select("url", "status"), "url", "inner"))
+        delta = (claim_upd.select(*FR.FRONTIER_COLS)
+                 .unionByName(new_urls.select(*FR.FRONTIER_COLS)))
+        # a wave's delta is small: keep it in a few files so the per-wave
+        # re-read doesn't accumulate hundreds of tiny tasks
+        self.frontier_t.append_delta(delta.coalesce(8), version=wave,
+                                     meta={"wave": wave})
+        if self.frontier_t.n_deltas() >= self.compact_every:
+            self.frontier_t.compact(self.spark, version=wave,
+                                    n_files=max(16, cores))
 
         t0 = _t("frontier_merge", t0)
         if self._bloom is not None and n_new > 0:

@@ -151,3 +151,87 @@ class SnapshotTable:
 
     def drop(self):
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+class DeltaTable(SnapshotTable):
+    """Merge-on-read extension: base dirs + keyed delta dirs with
+    last-writer-wins resolution on ``key_col`` (the Iceberg equality-delete
+    / merge-on-read shape, in place of copy-on-write ``overwrite``).
+
+    * ``overwrite``   — rewrites the base (a compaction); O(table).
+    * ``append_delta``— appends one small dir of changed/new rows tagged
+      with a ``commit_version``; O(delta).  This is the per-wave frontier
+      commit: a wave touches (claimed + discovered) rows, bounded by the
+      politeness budgets, so the write no longer scales with the frontier.
+    * ``read``        — base rows whose key has no delta row, unioned with
+      the latest delta row per key.  Deltas-since-compaction stay bounded
+      (compaction every K waves), so AQE turns the base-side anti-join into
+      a broadcast probe — no frontier-wide shuffle on the read either.  On
+      a real cluster both base and deltas are bucketed by the key, making
+      the merge bucket-local (Iceberg merge-on-read with equality deletes).
+    """
+
+    VERSION_COL = "_commit_version"
+
+    def __init__(self, path: str, key_col: str = "url"):
+        super().__init__(path)
+        self.key_col = key_col
+
+    def _tag(self, df: DataFrame, version: int) -> DataFrame:
+        from pyspark.sql import functions as F
+        return df.withColumn(self.VERSION_COL,
+                             F.lit(int(version)).cast("long"))
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> dict:
+        meta = dict(meta or {})
+        new_dir = self._write_data(self._tag(df, meta.get("wave", 0)))
+        meta["n_base"] = 1
+        return self._new_snapshot([new_dir], meta)
+
+    def append_delta(self, df: DataFrame, version: int,
+                     meta: dict | None = None) -> dict:
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("append_delta before the initial overwrite")
+        new_dir = self._write_data(self._tag(df, version))
+        meta = dict(meta or {})
+        meta["n_base"] = cur["meta"].get("n_base", len(cur["dirs"]))
+        return self._new_snapshot(cur["dirs"] + [new_dir], meta)
+
+    def n_deltas(self) -> int:
+        cur = self.current_snapshot()
+        if cur is None:
+            return 0
+        return len(cur["dirs"]) - cur["meta"].get("n_base", len(cur["dirs"]))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        cur = self.current_snapshot()
+        if cur is None or not cur["dirs"]:
+            raise ValueError(f"table {self.path} has no current snapshot")
+        n_base = cur["meta"].get("n_base", len(cur["dirs"]))
+        paths = [os.path.join(self.path, d) for d in cur["dirs"]]
+        base = spark.read.parquet(*paths[:n_base])
+        if n_base >= len(paths):
+            return base.drop(self.VERSION_COL)
+        deltas = spark.read.parquet(*paths[n_base:])
+        # LWW among the (small) deltas only; base rows are versionless —
+        # any delta row for a key supersedes the base row
+        w = (Window.partitionBy(self.key_col)
+             .orderBy(F.col(self.VERSION_COL).desc()))
+        latest = (deltas.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .drop("_rn", self.VERSION_COL))
+        keep = (base.join(deltas.select(self.key_col).distinct(),
+                          self.key_col, "left_anti")
+                .drop(self.VERSION_COL))
+        return keep.unionByName(latest)
+
+    def compact(self, spark: SparkSession, version: int,
+                n_files: int = 16) -> dict:
+        """Fold deltas into a fresh single-base snapshot (bin-pack style);
+        old snapshots keep their dirs for time travel/rollback."""
+        resolved = self.read(spark).coalesce(n_files)
+        return self.overwrite(resolved, meta={**self.meta(),
+                                              "wave": version})

@@ -52,8 +52,12 @@ def crawl_stream(spark: SparkSession, seed_dir: str, pages_path: str,
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        claimed = batch_df.sparkSession.createDataFrame(
-            batch_df.collect(), batch_df.schema)  # pin the micro-batch
+        # pin the micro-batch DISTRIBUTED: localCheckpoint materializes the
+        # batch in executor storage and truncates lineage, so re-use across
+        # the several actions below neither recomputes the source nor
+        # funnels the batch through the driver (a collect() pin would cap
+        # batch size at driver memory)
+        claimed = batch_df.localCheckpoint(eager=True)
         claimed = FR.init_frontier(claimed)
         hits = pages.join(F.broadcast(claimed), "url", "inner")
         missing = (claimed
@@ -113,10 +117,11 @@ def drain_discovered_stream(spark: SparkSession, pages_path: str,
         if os.path.isdir(seen_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(seen_dir)):
             cand = cand.join(sess.read.parquet(seen_dir), "url", "left_anti")
-        claimed = sess.createDataFrame(cand.collect(), batch_df.schema)
+        # distributed pin (see crawl_stream): the drain's candidate sets are
+        # unbounded at depth > 1 on a real corpus — never collect() them
+        claimed = cand.localCheckpoint(eager=True)
         if claimed.isEmpty():
             return
-        claimed.select("url").write.mode("append").parquet(seen_dir)
         hits = pages.join(F.broadcast(claimed), "url", "inner")
         missing = (claimed
                    .join(F.broadcast(hits.select("url")), "url", "left_anti")
@@ -128,6 +133,15 @@ def drain_discovered_stream(spark: SparkSession, pages_path: str,
          .write.mode("append").parquet(os.path.join(out_dir, "extracted")))
         links = PS.discovered_links(parsed, wave_id=batch_id)
         links.write.mode("append").parquet(disc_dir)
+        # seen/ commits LAST: foreachBatch replays a batch after a crash,
+        # and the replay anti-joins against seen/ — were seen/ written
+        # first, a crash between it and the output appends would drop those
+        # URLs forever (never extracted, never re-claimed).  Writing it
+        # after the outputs makes the batch at-least-once: a replay can
+        # duplicate extracted/discovered rows (same wave_id=batch_id, so an
+        # exact-duplicate dropDuplicates downstream restores exactly-once)
+        # but can never lose a URL.
+        claimed.select("url").write.mode("append").parquet(seen_dir)
         parsed.unpersist()
 
     return (disc.writeStream
