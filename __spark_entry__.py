@@ -561,13 +561,15 @@ def _q_lag_delta_user(spark, sf):
 
 
 def _q_ntile_quartiles(spark, sf):
-    """ntile(4) global quartiles.  NOTE: a single global ORDER BY window is
-    one-partition by construction; at 100 TB you'd two-phase it (sample
-    range boundaries, then bucket) — this entry exists for the ntile
-    semantics parity check at test scale."""
+    """ntile(4) global quartiles via operators/ranking.distributed_ntile:
+    a sampled range exchange + per-partition row_number + P-integer offset
+    broadcast reproduces SQL NTILE's remainder rule exactly WITHOUT the
+    single-partition global window (the plan shows RangePartitioning, not
+    SinglePartition — parallel at any scale)."""
+    from new_ent_crawler_spark.operators.ranking import distributed_ntile
     o = _t(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (o.select(F.ntile(4).over(w).alias("quartile"), "o_totalprice")
+    t = distributed_ntile(o, 4, ["o_totalprice", "o_orderkey"])
+    return (t.select(F.col("tile").alias("quartile"), "o_totalprice")
             .groupBy("quartile")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.min("o_totalprice"), 2).alias("min_price"),

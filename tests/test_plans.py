@@ -68,3 +68,34 @@ def test_no_cartesian_anywhere(spark):
             continue  # single-row broadcast cross join is intentional there
         plan = plan_of(q(spark, SF), extended=False)
         assert "CartesianProduct" not in plan, name
+
+
+def test_distributed_ntile_matches_global_window(spark):
+    """operators/ranking.distributed_ntile == F.ntile over the same total
+    order (exact remainder rule), while the physical plan range-partitions
+    instead of funnelling through one task."""
+    from pyspark.sql import Window
+
+    from new_ent_crawler_spark.operators.ranking import distributed_ntile
+    o = spark.read.parquet(SF + "/orders.parquet")
+    for n in (4, 7):
+        got = (distributed_ntile(o, n, ["o_totalprice", "o_orderkey"])
+               .select("o_orderkey", "tile"))
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        want = o.select("o_orderkey", F.ntile(n).over(w).alias("tile"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    plan = plan_of(distributed_ntile(o, 4,
+                                     ["o_totalprice", "o_orderkey"]), False)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_distributed_ntile_remainder_rule(spark):
+    """total=10, n=4 -> bucket sizes 3,3,2,2 (SQL remainder rule)."""
+    from new_ent_crawler_spark.operators.ranking import distributed_ntile
+    df = spark.range(10).withColumnRenamed("id", "k")
+    sizes = {r.tile: r.n for r in
+             (distributed_ntile(df, 4, ["k"])
+              .groupBy("tile").agg(F.count("*").alias("n")).collect())}
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
