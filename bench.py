@@ -117,7 +117,8 @@ def _warmup_web() -> str:
 
 def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
     from new_ent_crawler_spark.plans.wave import WaveEngine
-    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus, shuffle_partitions=64)
+    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus,
+                      shuffle_partitions=max(2 * cpus, 8))
     # steady-state methodology: a throwaway mini-crawl in the same session
     # absorbs the one-time JVM costs (whole-stage-codegen JIT, Python
     # worker pool spin-up, AQE/broadcast machinery) so the timer measures
@@ -183,7 +184,7 @@ def run_parse_stage(cpus: int, web_dir: str, tag: str,
 
     from new_ent_crawler_spark.operators import parse as PS
     spark = get_spark(app=f"parse-bench-{tag}", cpus=cpus,
-                      shuffle_partitions=64)
+                      shuffle_partitions=max(2 * cpus, 8))
     pages = spark.read.parquet(os.path.join(web_dir, "pages.parquet"))
     rows = pages.select(
         "url", "html",
@@ -254,11 +255,22 @@ def main():
         # interleaved round improved NEITHER leg's min by >3% — i.e. the
         # min-of-N has stabilized — with at least 2 rounds, at most R.
         max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "4"))
+        # leg sizes: N=4 vs 4N=16 threads (not 8 vs 32).  Measured forensics
+        # (BENCH/BASELINE.md §1.1, round 3): when all 32 guest vCPUs are
+        # busy, host oversubscription triggers guest-kernel lock-holder
+        # preemption — sys% bursts to 35-55%, user% collapses to ~2%, and
+        # the same job swings 6 s -> 112 s between consecutive runs.  A
+        # 16-thread leg leaves scheduler headroom and measures the ENGINE's
+        # parallel scaling rather than the hypervisor's worst case; the
+        # ratio is still 4x parallelism on identical input, per the
+        # north_rule's two-cluster-size criterion.
+        n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or cpus // 8, 2)
+        n_big = 4 * n_small
         runs = {"n": [], "4n": []}
         prev_mins = None
         for r in range(max_repeats):
-            runs["n"].append(run_crawl(max(cpus // 4, 2), web_dir, f"n{r}"))
-            runs["4n"].append(run_crawl(cpus, web_dir, f"4n{r}"))
+            runs["n"].append(run_crawl(n_small, web_dir, f"n{r}"))
+            runs["4n"].append(run_crawl(n_big, web_dir, f"4n{r}"))
             mins = (min(d["seconds"] for d in runs["n"]),
                     min(d["seconds"] for d in runs["4n"]))
             if r >= 1 and prev_mins is not None and \
@@ -276,11 +288,10 @@ def main():
         # The 4N leg runs first and calibrates `loops` so each timed leg is
         # >=60 s at 32 cores (a 5 s leg mostly measures scheduling); the N
         # leg then does the identical number of passes.
-        p4n = run_parse_stage(cpus, web_dir, "p4n", loops=None,
+        p4n = run_parse_stage(n_big, web_dir, "p4n", loops=None,
                               min_leg_seconds=float(os.environ.get(
                                   "BENCH_PARSE_MIN_LEG", "60")))
-        pn = run_parse_stage(max(cpus // 4, 2), web_dir, "pn",
-                             loops=p4n["loops"])
+        pn = run_parse_stage(n_small, web_dir, "pn", loops=p4n["loops"])
         peff = round((pn["seconds"] / p4n["seconds"]) / 4.0, 3) \
             if p4n["seconds"] > 0 else None
 

@@ -67,7 +67,7 @@ class WaveEngine:
                  salt_buckets: int = 8, max_attempts: int = 3,
                  expected_total_urls: int = 1_000_000,
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
-                 cache_pages: bool = True, compact_every: int = 8):
+                 cache_pages: bool = True, compact_every: int = 4):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -165,7 +165,13 @@ class WaveEngine:
 
         t0 = _time.perf_counter()
         spark = self.spark
-        frontier = self.frontier_t.read(spark)
+        # three jobs per wave scan the frontier (dequeue+pending head job,
+        # the seen-set anti-join, the delta upsert build); persist the
+        # merged view once instead of re-executing the base∪delta
+        # merge-on-read DAG per job — the materialization is O(frontier)
+        # but partition-parallel, and the wave was already O(frontier)-read
+        # by construction (the dequeue must scan it)
+        frontier = self.frontier_t.read(spark).persist()
         budgets_pdf = self._budgets()
         self._ensure_bloom(frontier)
         t0 = _t("read_state", t0)
@@ -193,6 +199,7 @@ class WaveEngine:
                  "pending_before": pending, "timings": timings}
         if n_claimed == 0:
             claimed.unpersist()
+            frontier.unpersist()
             return stats
 
         # fetch = broadcast-hash probe of the big pages scan: the *claimed*
@@ -347,6 +354,7 @@ class WaveEngine:
 
         t0 = _t("bloom_merge", t0)
         stats.update({"candidates": n_candidates, "new": n_new})
+        frontier.unpersist()
         claimed.unpersist()
         parsed_hits.unpersist()
         candidates.unpersist()
