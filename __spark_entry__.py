@@ -265,6 +265,27 @@ def _q_text_fingerprint_dups(spark, sf):
             .filter("n_docs > 1"))
 
 
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals: duplicate-line fraction and
+    token-repetition fraction per doc — pure array expressions, no shuffle,
+    no Python (functions/text.py)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    TX.dup_line_fraction("text").alias("dup_line_frac"),
+                    TX.token_repetition_fraction("text").alias(
+                        "tok_rep_frac"))
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic 3-per-lang document sample via salted two-phase top-K
+    on an md5 shuffle key (operators/sampling.py) — the skew-safe form of
+    `row_number() over (partition by lang order by md5(id))`."""
+    from new_ent_crawler_spark.operators import sampling as SMP
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return SMP.stratified_topk(d, "lang", "doc_id", k=3) \
+        .select("lang", "doc_id", "rnk")
+
+
 def _q_dedup_exact(spark, sf):
     return DT.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1007,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_last_event": _q_first_last_event,
         # -- new this round ------------------------------------------------
         "bmp_decode_features": _q_bmp_decode_features,
+        "text_repetition": _q_text_repetition,
+        "stratified_sample_lang": _q_stratified_sample,
         # -- green in r02; the first ~23 still fit the checked window, the
         #    rest are re-verified by tests/test_queries.py every run -------
         "tpch_q1": _q_tpch_q1,
@@ -1308,6 +1331,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT substring(md5({_NORM_SQL}), 1, 16) AS fp,
                    count(*) AS n_docs
             FROM documents GROUP BY fp HAVING count(*) > 1
+        """,
+        "text_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> length(trim(x)) > 0) AS lines,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(lines) > 0
+                        THEN round(1.0 - len(list_distinct(lines))
+                                   * 1.0 / len(lines), 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN len(toks) > 0
+                        THEN round(1.0 - len(list_distinct(toks))
+                                   * 1.0 / len(toks), 6)
+                        ELSE 0.0 END AS tok_rep_frac
+            FROM t
+        """,
+        "stratified_sample_lang": """
+            SELECT lang, doc_id, rnk FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rnk
+                FROM documents)
+            WHERE rnk <= 3
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_SQL}) AS digest, min(doc_id) AS keep_id,

@@ -90,3 +90,32 @@ def fingerprint(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.substring(F.md5(normalized), 1, 16)
+
+
+def dup_line_fraction(col) -> Column:
+    """Gopher-style repetition signal: fraction of non-blank lines that are
+    duplicates of an earlier line, ``1 - distinct/total`` (0.0 for docs with
+    no non-blank lines).  Pure array expressions — split, filter, distinct —
+    so it stays inside whole-stage codegen; no shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    total = F.size(lines).cast("double")
+    distinct = F.size(F.array_distinct(lines)).cast("double")
+    return F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6)) \
+        .otherwise(F.lit(0.0))
+
+
+def token_repetition_fraction(col) -> Column:
+    """Fraction of whitespace tokens that repeat an earlier token,
+    ``1 - distinct/total`` (0.0 for blank docs).  The token-level sibling
+    of :func:`dup_line_fraction`; high values flag keyword-stuffed or
+    boilerplate documents in a training-data filter chain."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    toks = F.when(F.length(c) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(c, r"\s+"))
+    total = F.size(toks).cast("double")
+    distinct = F.size(F.array_distinct(toks)).cast("double")
+    return F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6)) \
+        .otherwise(F.lit(0.0))

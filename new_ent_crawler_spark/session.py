@@ -14,7 +14,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "new-ent-crawler-spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf`` overrides any default below — the bench uses it to
+    size ``spark.sql.files.maxPartitionBytes`` to the leg so a few-GB test
+    input splits into many more scan tasks than cores.  At real (100 TB)
+    scale the 128 MB default is right: task count dwarfs core count, so
+    task-round quantization is noise; on a 4 GB toy corpus the default
+    yields ~33 splits and a 16-core leg pays a 2.06-round ceiling
+    (measured 0.73 scaling) that says nothing about the engine."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -42,6 +50,8 @@ def get_spark(app: str = "new-ent-crawler-spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
     return builder.getOrCreate()
 
 

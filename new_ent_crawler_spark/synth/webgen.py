@@ -357,17 +357,101 @@ def _listing_html(name: str, cid: str, outcome: str, rnd: random.Random) -> str:
     return "<html><body><div class='search'>%s</div></body></html>" % body
 
 
+_EXTRACT_SRC: list | None = None  # fork-COW buffer for _extract_texts
+
+
+def _extract_at(i: int) -> str:
+    url, content = _EXTRACT_SRC[i]
+    return U.extract_url_text(url, content)
+
+
+def _extract_texts(items: list, procs: int) -> list:
+    """Golden-text extraction for a batch of (url, html) pairs.  For large
+    batches, fan out over a fork Pool: workers index into the parent's
+    buffer via copy-on-write instead of pickling ~GBs of html."""
+    if procs <= 1 or len(items) < 2000:
+        return [U.extract_url_text(u, c) for u, c in items]
+    global _EXTRACT_SRC
+    import multiprocessing as mp
+    try:
+        ctx = mp.get_context("fork")
+    except ValueError:  # platform without fork
+        return [U.extract_url_text(u, c) for u, c in items]
+    _EXTRACT_SRC = items
+    try:
+        with ctx.Pool(procs) as pool:
+            return pool.map(_extract_at, range(len(items)), chunksize=128)
+    finally:
+        _EXTRACT_SRC = None
+
+
+def _flush_pages(writer, out_path: str, web: "_Web", row_group_size: int,
+                 extract_procs: int):
+    """Append ``web.pages`` (url-sorted) to the parquet writer and clear the
+    dict.  Streaming per host bounds generator memory at O(one host) instead
+    of O(web) — at Common-Crawl-realistic page sizes the whole web does not
+    fit in RAM — and writing slice-by-slice keeps every arrow array well
+    under the 32-bit binary-offset limit."""
+    if not web.pages:
+        return writer, 0
+    items = [(u, web.pages[u]) for u in sorted(web.pages)]
+    texts = _extract_texts(items, extract_procs)
+    for lo in range(0, len(items), row_group_size):
+        chunk = items[lo:lo + row_group_size]
+        urls = [u for u, _ in chunk]
+        hs = [int(hashlib.md5(u.encode()).hexdigest()[:8], 16) for u in urls]
+        tbl = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [_WARC_BASE + timedelta(seconds=h % 10_000_000) for h in hs],
+                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([c.encode("utf-8") for _, c in chunk],
+                             pa.binary()),
+            "text": pa.array(texts[lo:lo + row_group_size], pa.string()),
+            "lang": pa.array(
+                ["zh" if "gsxt" in u else ("zh" if h % 3 else "en")
+                 for u, h in zip(urls, hs)], pa.string()),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(out_path, tbl.schema,
+                                      compression="zstd")
+        writer.write_table(tbl, row_group_size=row_group_size)
+    n = len(items)
+    web.pages.clear()
+    return writer, n
+
+
 def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
              seed: int = 42, skew_host_factor: int = 1,
              p_not_found: float = 0.08, p_empty: float = 0.04,
              p_broken_vars: float = 0.03, p_missing_section: float = 0.0,
-             filler_kb: int = 0):
+             filler_kb: int = 0, row_group_size: int | None = None,
+             extract_procs: int | None = None):
     """Generate pages/seeds/robots parquet under ``out_dir``.
 
     ``skew_host_factor`` > 1 multiplies host 0's company count (the
     registry-domain skew test, FIXTURES.md §A1).
+
+    row_group_size matters enormously: pyarrow's default (1M rows) makes
+    one multi-GB row group, and a parquet row group is the unit of
+    parallel scan — a single group means every Spark scan of the table
+    runs ONE task no matter how many executors exist (it silently
+    serialized the per-wave fetch probe and capped crawl scaling in r01).
+    The default targets ~25 MB compressed per group regardless of
+    ``filler_kb`` so the bench legs always scan many more splits than
+    cores.  zstd matches the engine's own table writes and models
+    compressed web-archive storage (CPU-bound decode on scan).
     """
     os.makedirs(out_dir, exist_ok=True)
+    if row_group_size is None:
+        row_group_size = max(256, (4096 * 24) // max(24, filler_kb))
+    if extract_procs is None:
+        extract_procs = min(16, os.cpu_count() or 1)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    # p_missing_section needs the whole web before the drop pass; those
+    # webs are small test fixtures, so they skip per-host streaming
+    stream = p_missing_section <= 0
+    writer, n_pages = None, 0
     web = _Web(filler_kb=filler_kb)
     seeds = []
     seed_id = 0
@@ -392,6 +476,13 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
                           "seed_id": seed_id,
                           "seed_url": U.canonicalize(listing_rel, host)})
             seed_id += 1
+        # hosts are generated in ascending name order and every page URL
+        # starts with its host, so per-host url-sorted flushes reproduce
+        # the exact global url-sorted row order of the non-streamed path
+        if stream:
+            writer, n = _flush_pages(writer, pages_path, web,
+                                     row_group_size, extract_procs)
+            n_pages += n
 
     if p_missing_section > 0:
         drop_rnd = random.Random("%d:drop" % seed)
@@ -403,34 +494,19 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
             keep[url] = content
         web.pages = keep
 
-    # pages table (golden text computed by the oracle)
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for url in sorted(web.pages):
-        content = web.pages[url]
-        urls.append(url)
-        h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
-        tss.append(_WARC_BASE + timedelta(seconds=h % 10_000_000))
-        htmls.append(content.encode("utf-8"))
-        texts.append(U.extract_url_text(url, content))
-        langs.append("zh" if "gsxt" in url else ("zh" if h % 3 else "en"))
-    pages = pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    })
-    # row_group_size matters enormously: pyarrow's default (1M rows) makes
-    # one multi-GB row group, and a parquet row group is the unit of
-    # parallel scan — a single group means every Spark scan of the table
-    # runs ONE task no matter how many executors exist (it silently
-    # serialized the per-wave fetch probe and capped crawl scaling).
-    # ~4k pages x ~14 KB ≈ 32-64 MB per group, splitting cleanly under
-    # spark.sql.files.maxPartitionBytes=128MB.
-    # zstd matches the engine's own table writes and models compressed
-    # web-archive storage (CPU-bound decode on scan)
-    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"),
-                   row_group_size=4096, compression="zstd")
+    writer, n = _flush_pages(writer, pages_path, web, row_group_size,
+                             extract_procs)
+    n_pages += n
+    if writer is not None:
+        writer.close()
+    else:  # degenerate zero-page web: still write the (empty) table
+        pq.write_table(pa.table({
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([], pa.binary()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }), pages_path)
 
     seeds_tbl = pa.table({
         "keyword": pa.array([s["keyword"] for s in seeds], pa.string()),
@@ -450,7 +526,7 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
                                 pa.float64()),
     })
     pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
-    return {"pages": len(urls), "seeds": len(seeds), "hosts": n_hosts}
+    return {"pages": n_pages, "seeds": len(seeds), "hosts": n_hosts}
 
 
 def load_fetch(out_dir: str):
