@@ -132,6 +132,39 @@ def _contaminated(leg: dict) -> bool:
             or leg.get("iowait_pct", 0) >= 10)
 
 
+def _interleaved_min(run_pair, max_repeats: int) -> dict:
+    """Interleaved min-of-N over two legs with a gate-independent stopping
+    rule: stop when one more round improved NEITHER leg's min by >3% (and
+    that round was itself uncontaminated), with at least 2 rounds, at most
+    ``max_repeats`` — extended a little if a leg has not yet seen ONE
+    uncontaminated window per the host markers (never the efficiency
+    value).  ``run_pair(r)`` returns (leg_n_dict, leg_4n_dict)."""
+    runs = {"n": [], "4n": []}
+    hard_cap = max_repeats + 2
+    prev_mins = None
+    r = 0
+    while r < hard_cap:
+        rn, r4 = run_pair(r)
+        runs["n"].append(rn)
+        runs["4n"].append(r4)
+        r += 1
+        both_clean_once = all(
+            any(not _contaminated(d) for d in runs[leg]) for leg in runs)
+        if r >= max_repeats and both_clean_once:
+            break
+        if not both_clean_once:
+            continue  # keep sampling until each leg saw a quiet window
+        mins = (min(d["seconds"] for d in runs["n"]),
+                min(d["seconds"] for d in runs["4n"]))
+        if r >= 2 and prev_mins is not None and \
+                not _contaminated(rn) and not _contaminated(r4) and \
+                mins[0] > prev_mins[0] * 0.97 and \
+                mins[1] > prev_mins[1] * 0.97:
+            break
+        prev_mins = mins
+    return runs
+
+
 def _warmup_web() -> str:
     from new_ent_crawler_spark.synth import webgen
     out = os.path.join(_scratch_dir(), "warmup_web")
@@ -228,7 +261,9 @@ def run_parse_stage(cpus: int, web_dir: str, tag: str,
         F.lit(None).cast("string").alias("keyword"),
         F.lit(0).alias("depth"), F.lit(1).alias("priority"),
         F.lit(0).alias("page_type_score"),
-        F.lit(0).cast("long").alias("enqueue_wave"))
+        F.lit(0).cast("long").alias("enqueue_wave"),
+        F.lit(0).cast("int").alias("crawler_count"))
+    PS.tune_arrow_batch(spark, pages)
 
     def one_pass():
         _exec(PS.parse_pages(rows).select("url", "status", "text", "links"))
@@ -286,9 +321,6 @@ def main():
         # interleaved round improved NEITHER leg's min by >3% — i.e. the
         # min-of-N has stabilized — with at least 2 rounds, at most R.
         max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "4"))
-        # if a leg has not seen ONE uncontaminated window (per the host
-        # markers — never the efficiency value) the budget extends a little
-        hard_cap = max_repeats + 2
         # leg sizes: N=4 vs 4N=16 threads (not 8 vs 32).  Measured forensics
         # (BENCH/BASELINE.md §1.1, round 3): when all 32 guest vCPUs are
         # busy, host oversubscription triggers guest-kernel lock-holder
@@ -300,32 +332,10 @@ def main():
         # north_rule's two-cluster-size criterion.
         n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or cpus // 8, 2)
         n_big = 4 * n_small
-        runs = {"n": [], "4n": []}
-        prev_mins = None
-        r = 0
-        while r < hard_cap:
-            rn = run_crawl(n_small, web_dir, f"n{r}")
-            r4 = run_crawl(n_big, web_dir, f"4n{r}")
-            runs["n"].append(rn)
-            runs["4n"].append(r4)
-            r += 1
-            both_clean_once = all(
-                any(not _contaminated(d) for d in runs[leg]) for leg in runs)
-            if r >= max_repeats and both_clean_once:
-                break
-            if not both_clean_once:
-                continue  # keep sampling until each leg saw a quiet window
-            mins = (min(d["seconds"] for d in runs["n"]),
-                    min(d["seconds"] for d in runs["4n"]))
-            # stability stop (gate-independent): one more interleaved round
-            # improved neither leg's min by >3% — and that round itself was
-            # not a contaminated window that could not have improved anything
-            if r >= 2 and prev_mins is not None and \
-                    not _contaminated(rn) and not _contaminated(r4) and \
-                    mins[0] > prev_mins[0] * 0.97 and \
-                    mins[1] > prev_mins[1] * 0.97:
-                break
-            prev_mins = mins
+        runs = _interleaved_min(
+            lambda r: (run_crawl(n_small, web_dir, f"n{r}"),
+                       run_crawl(n_big, web_dir, f"4n{r}")),
+            max_repeats)
         low = min(runs["n"], key=lambda d: d["seconds"])
         high = min(runs["4n"], key=lambda d: d["seconds"])
         eff = round((low["seconds"] / high["seconds"]) / 4.0, 3) \
@@ -333,13 +343,29 @@ def main():
         # the hot-kernel scaling number: the scan+fetch+parse of every page
         # as one long job per leg — executor scaling of the dominant
         # distributed work, free of the wave loop's per-wave fixed costs.
-        # The 4N leg runs first and calibrates `loops` so each timed leg is
-        # >=60 s at 32 cores (a 5 s leg mostly measures scheduling); the N
-        # leg then does the identical number of passes.
-        p4n = run_parse_stage(n_big, web_dir, "p4n", loops=None,
-                              min_leg_seconds=float(os.environ.get(
-                                  "BENCH_PARSE_MIN_LEG", "60")))
-        pn = run_parse_stage(n_small, web_dir, "pn", loops=p4n["loops"])
+        # The first 4N leg calibrates `loops` so each timed leg is >=60 s
+        # at 4N cores (a 5 s leg mostly measures scheduling); every later
+        # leg does the identical number of passes.  Parse legs get the SAME
+        # interleaved contamination-aware min-of-N as the crawl legs: in
+        # round 2 the parse pair ran once, back-to-back, at the tail of an
+        # hour-long bench — a single contended host window poisoned both
+        # repeats of the 4N leg (107 s vs the 31-39 s this kernel measures
+        # in a quiet window) and the round shipped 0.31 instead of ~0.85.
+        p_state = {"loops": None}
+
+        def _parse_pair(r):
+            p4 = run_parse_stage(n_big, web_dir, f"p4n{r}", repeats=1,
+                                 loops=p_state["loops"],
+                                 min_leg_seconds=float(os.environ.get(
+                                     "BENCH_PARSE_MIN_LEG", "60")))
+            p_state["loops"] = p4["loops"]
+            p1 = run_parse_stage(n_small, web_dir, f"pn{r}", repeats=1,
+                                 loops=p_state["loops"])
+            return p1, p4
+        p_runs = _interleaved_min(
+            _parse_pair, int(os.environ.get("BENCH_PARSE_REPEATS", "4")))
+        pn = min(p_runs["n"], key=lambda d: d["seconds"])
+        p4n = min(p_runs["4n"], key=lambda d: d["seconds"])
         peff = round((pn["seconds"] / p4n["seconds"]) / 4.0, 3) \
             if p4n["seconds"] > 0 else None
 
@@ -359,7 +385,8 @@ def main():
         # which is why the printed line stays compact
         detail = {"all_runs": runs, "companies": companies,
                   "parse_stage": {"n_cores": pn, "4n_cores": p4n,
-                                  "scaling_efficiency": peff},
+                                  "scaling_efficiency": peff,
+                                  "all_runs": p_runs},
                   "note": "efficiency = (T_N / T_4N) / 4, min-of-N over "
                           f"{len(runs['n'])} interleaved repeats per leg "
                           "(stability-stopped, gate-independent, max "

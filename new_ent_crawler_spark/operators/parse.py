@@ -39,6 +39,12 @@ PARSED_SCHEMA = T.StructType([
     T.StructField("priority", T.IntegerType(), True),
     T.StructField("page_type_score", T.IntegerType(), True),
     T.StructField("enqueue_wave", T.LongType(), True),
+    # pass-through: carrying the attempt counter through the parse lets the
+    # wave's frontier delta be SELECTed straight off the parse output —
+    # without it the engine needed a claimed⋈parsed shuffle join per wave
+    # just to reunite status with crawler_count (measured ~1 s/wave of the
+    # non-scaling per-wave fixed cost at 16 threads)
+    T.StructField("crawler_count", T.IntegerType(), True),
     T.StructField("status", T.IntegerType(), True),
     T.StructField("blocked", T.BooleanType(), True),
     T.StructField("text", T.StringType(), True),
@@ -48,6 +54,31 @@ PARSED_SCHEMA = T.StructType([
         T.StructField("company", T.StringType(), True),
     ])), True),
 ])
+
+
+def tune_arrow_batch(spark, pages: DataFrame, col: str = "html",
+                     target_mb: int = 16, lo: int = 64, hi: int = 4096,
+                     sample_rows: int = 512) -> int:
+    """Size Arrow batches by BYTES, not rows, for the parse UDF family.
+
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is a row count, but
+    what the pipeline actually pays for is bytes per batch: each batch is
+    built JVM-side, pushed through the local socket, and materialized as
+    pandas objects.  At ~24 KB/page 1024 rows ≈ 25 MB and scales linearly;
+    at Common-Crawl-realistic ~144 KB/page the same 1024 rows is a 150 MB
+    slab per concurrent worker — measured 20% slower at BOTH 4 and 16
+    threads than ~16 MB batches on the same corpus (BENCH/BASELINE.md §1).
+    Spark 4 only honors a bytes cap for transformWithState, so this samples
+    the head of the pages table (one split, ``LIMIT sample_rows``) and sets
+    the row cap to approximate ``target_mb``.  Heterogeneous page sizes at
+    100 TB make a static row count wrong in both directions; re-tuning per
+    table keeps batch memory bounded.
+    """
+    avg = (pages.select(F.length(col).alias("n")).limit(sample_rows)
+           .agg(F.avg("n")).first()[0]) or 1.0
+    rows = int(max(lo, min(hi, (target_mb * 2**20) // max(int(avg), 1))))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+    return rows
 
 
 def _parse_one(url, host, company, html_bytes):
@@ -98,7 +129,7 @@ def parse_pages(fetched: DataFrame) -> DataFrame:
                 blocked_col.append(blk)
             out = pdf[["url", "host", "company", "seed_id", "keyword",
                        "depth", "priority", "page_type_score",
-                       "enqueue_wave"]].copy()
+                       "enqueue_wave", "crawler_count"]].copy()
             out["status"] = pd.Series(statuses, dtype="int32")
             out["blocked"] = pd.Series(blocked_col, dtype="bool")
             out["text"] = texts
@@ -108,14 +139,17 @@ def parse_pages(fetched: DataFrame) -> DataFrame:
     return fetched.mapInPandas(run, schema=PARSED_SCHEMA)
 
 
-def discovered_links(parsed: DataFrame, wave_id: int) -> DataFrame:
-    """Explode out-links into candidate frontier rows (pre-dedup).
+def explode_links(parsed: DataFrame, wave_id: int) -> DataFrame:
+    """Explode out-links into candidate frontier rows, PRE-dedup.
 
     Inherits priority/seed/keyword from the parent, depth+1, and derives the
-    host from the canonical URL — all JVM-side expressions.
+    host from the canonical URL — all JVM-side expressions.  Callers that
+    can cut rows cheaply (e.g. the robots broadcast filter) should do so
+    between this and :func:`dedup_candidates`, so the dedup shuffle moves
+    fewer bytes.
     """
     link = F.explode("links").alias("link")
-    cand = (parsed
+    return (parsed
             .select("seed_id", "keyword", "priority", "depth", link)
             .select(
                 F.col("link.url").alias("url"),
@@ -129,11 +163,39 @@ def discovered_links(parsed: DataFrame, wave_id: int) -> DataFrame:
                 F.lit(0).alias("crawler_count"),
                 F.lit(wave_id).cast("long").alias("enqueue_wave"),
             ))
-    # the same URL may be discovered by several parents in one wave: keep the
-    # highest-priority / shallowest claim (deterministic)
-    from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy(
-        F.col("priority").desc(), F.col("depth").asc(),
-        F.col("page_type_score").desc(), F.col("seed_id").asc())
-    return (cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def dedup_candidates(cand: DataFrame) -> DataFrame:
+    """One row per discovered URL: the highest-priority / shallowest /
+    best-scored / lowest-seed claim, with every remaining column as a
+    deterministic tiebreaker.
+
+    ``groupBy(url).agg(max(struct(...)))`` rather than a row_number window:
+    a hash aggregate gets map-side partial aggregation — each task collapses
+    its local duplicates BEFORE the exchange, so the shuffle carries one row
+    per (task, url) instead of every (parent, url) claim — and it never
+    sorts.  On a heavily cross-linked web graph that is the difference
+    between shuffling O(edges) and roughly O(vertices); a window must
+    shuffle and sort every claim.  Equivalence with the window form is
+    pinned by tests/test_operators.py::test_dedup_candidates_matches_window.
+    """
+    desc_keys = F.struct(
+        F.col("priority"),                              # priority DESC
+        (-F.col("depth")).alias("nd"),                  # depth ASC
+        F.col("page_type_score"),                       # score DESC
+        (-F.col("seed_id")).alias("ns"),                # seed_id ASC
+        # payload (and any residual ties broken deterministically)
+        F.col("host"), F.col("company"), F.col("keyword"),
+        F.col("depth"), F.col("seed_id"), F.col("status"),
+        F.col("crawler_count"), F.col("enqueue_wave"))
+    best = cand.groupBy("url").agg(F.max(desc_keys).alias("b"))
+    return best.select(
+        "url", "b.host", "b.company", "b.seed_id", "b.keyword", "b.depth",
+        "b.page_type_score", "b.priority", "b.status", "b.crawler_count",
+        "b.enqueue_wave")
+
+
+def discovered_links(parsed: DataFrame, wave_id: int) -> DataFrame:
+    """explode → dedup composition (the same URL may be discovered by
+    several parents in one wave; keep the best claim deterministically)."""
+    return dedup_candidates(explode_links(parsed, wave_id))

@@ -236,6 +236,8 @@ class WaveEngine:
                            .alias("page_type_score"),
                            F.col("enqueue_wave").cast("long")
                            .alias("enqueue_wave"),
+                           F.col("crawler_count").cast("int")
+                           .alias("crawler_count"),
                            F.lit(FR.STATUS_ERROR).cast("int").alias("status"),
                            F.lit(False).alias("blocked"),
                            F.lit(None).cast("string").alias("text"),
@@ -256,9 +258,15 @@ class WaveEngine:
             meta={"wave": wave})
         t0 = _t("parse_extract", t0)
 
-        # discovered links -> robots gate -> seen-set subtraction
-        candidates = PS.discovered_links(parsed, wave_id=wave)
-        candidates = PL.robots_allowed(candidates, self.robots())
+        # discovered links -> robots gate -> per-url dedup -> seen-set
+        # subtraction.  The robots broadcast filter runs BEFORE the dedup so
+        # the groupBy exchange never carries disallowed rows, and the dedup
+        # is a hash aggregate (map-side combine collapses duplicate claims
+        # inside each parse task before the shuffle) rather than a
+        # sort-window over every claim
+        candidates = PS.dedup_candidates(
+            PL.robots_allowed(PS.explode_links(parsed, wave_id=wave),
+                              self.robots()))
         candidates = candidates.persist()
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
                                       self._bloom).persist()
@@ -318,12 +326,13 @@ class WaveEngine:
         # O(frontier) shuffle join, the dominant per-wave fixed cost once
         # the parse stage is fast.  The delta is bounded by the politeness
         # budgets, so at 10^10-frontier scale this write stays wave-sized.
-        claim_upd = (claimed
-                     .select(*[c for c in FR.FRONTIER_COLS
-                               if c not in ("status", "crawler_count")],
-                             (F.col("crawler_count") + 1).cast("int")
-                             .alias("crawler_count"))
-                     .join(parsed.select("url", "status"), "url", "inner"))
+        # the parse output carries every frontier column (crawler_count is a
+        # pass-through of the claim), so the status-merge upsert rows are a
+        # pure SELECT off the persisted parse cache — no claimed⋈parsed
+        # shuffle join per wave
+        claim_upd = parsed.select(
+            *[c for c in FR.FRONTIER_COLS if c != "crawler_count"],
+            (F.col("crawler_count") + 1).cast("int").alias("crawler_count"))
         delta = (claim_upd.select(*FR.FRONTIER_COLS)
                  .unionByName(new_urls.select(*FR.FRONTIER_COLS)))
         # a wave's delta is small: keep it in a few files so the per-wave
@@ -378,6 +387,9 @@ class WaveEngine:
         self._rollback_appends(start)
         self._budgets_pdf = None  # reload politeness state post-rollback
         pages = self.pages().select("url", "html")
+        # bytes-bounded Arrow batches for the parse stage (row cap derived
+        # from sampled page size — see PS.tune_arrow_batch)
+        PS.tune_arrow_batch(self.spark, pages)
         if self.cache_pages:
             pages = pages.persist()
         all_stats = []

@@ -115,3 +115,38 @@ def test_dedup_last_writer_wins(spark):
     out = {r.key: r.url for r in
            DD.dedup_last_writer_wins(df, ["key"], "ts").collect()}
     assert out == {"a": "u2", "b": "u3"}
+
+
+def test_dedup_candidates_matches_window(spark):
+    """The hash-aggregate candidate dedup (groupBy url + max(struct)) must
+    pick exactly the row the old row_number window picked: best claim by
+    priority DESC, depth ASC, page_type_score DESC, seed_id ASC, with the
+    remaining columns as deterministic tiebreakers."""
+    from pyspark.sql import Window
+    from new_ent_crawler_spark.operators import parse as PS
+
+    rows = []
+    for i in range(400):
+        url = f"http://h{i % 5}.example/p{i % 40}.html"  # 10 claims per url
+        rows.append((url, f"h{i % 5}.example", f"c{i % 11}", i % 7,
+                     f"kw{i % 7}", i % 4, i % 3, i % 2, 0, 0, i % 5))
+    cand = spark.createDataFrame(rows, FR.FRONTIER_SCHEMA)
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(),
+        F.col("page_type_score").desc(), F.col("seed_id").asc(),
+        # max(struct) breaks residual ties by the LARGEST payload, so the
+        # reference window must order the payload tiebreakers descending
+        F.col("host").desc(), F.col("company").desc(),
+        F.col("keyword").desc(), F.col("depth").desc(),
+        F.col("seed_id").desc(), F.col("status").desc(),
+        F.col("crawler_count").desc(), F.col("enqueue_wave").desc())
+    expected = (cand.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1").drop("_rn"))
+
+    got = PS.dedup_candidates(cand)
+    cols = sorted(got.columns)
+    assert sorted(expected.columns) == cols
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, expected.select(*cols).collect()))
+    assert a == b and len(a) == 40  # 40 distinct urls
