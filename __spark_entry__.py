@@ -286,6 +286,18 @@ def _q_stratified_sample(spark, sf):
         .select("lang", "doc_id", "rnk")
 
 
+def _q_dedup_cluster_keep(spark, sf):
+    """Near-dup PAIRS -> dedup DECISIONS: hash-min connected components over
+    the word-trigram Jaccard candidate graph (operators/dedup_text.py
+    connected_components), then keep = (doc_id == min id of its component).
+    The iterative label propagation is the one step of the dedup family
+    SQL cannot express directly — the oracle uses a recursive CTE."""
+    docs = _t(spark, sf, "documents")
+    pairs = DT.word_ngram_jaccard_pairs(docs, n=3, threshold=0.5) \
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return DT.dedup_cluster_keep(docs, pairs).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark, sf):
     return DT.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1030,7 +1042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode_features": _q_bmp_decode_features,
         "text_repetition": _q_text_repetition,
         "stratified_sample_lang": _q_stratified_sample,
-        # -- green in r02; the first ~23 still fit the checked window, the
+        # the two rows-only entries (no SQL-expressible oracle) get fresh
+        # official rows too — moved inside the driver's 50-row window
+        "multimodal_features": _q_multimodal_features,
+        "approx_distinct_users": _q_approx_distinct,
+        "dedup_cluster_keep": _q_dedup_cluster_keep,
+        # -- green in r02; the first ~20 still fit the checked window, the
         #    rest are re-verified by tests/test_queries.py every run -------
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
@@ -1076,12 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_users": _q_sessionize,
         "pivot_lang_counts": _q_pivot_lang,
         "running_total_daily": _q_running_total_daily,
-        "multimodal_features": _q_multimodal_features,
         "window_range_frame": _q_window_range_frame,
         "time_bucket_5min": _q_time_bucket_5min,
         "unpivot_lang_counts": _q_unpivot_lang_counts,
         "rank_functions": _q_rank_functions,
-        "approx_distinct_users": _q_approx_distinct,
     }
 
 
@@ -1927,6 +1942,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        # pairs -> components -> keep decision: the recursive CTE computes
+        # the same min-reachable-id labels the engine's iterative hash-min
+        # propagation converges to (dup clusters are tiny at sf0.01, so the
+        # transitive closure is cheap for DuckDB)
+        "dedup_cluster_keep": f"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, list_filter(
+                    string_split({_NORM_SQL}, ' '),
+                    x -> length(x) > 0) AS toks
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[pos:pos+2], ' ') AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 1)) AS pos
+                      FROM norm WHERE len(toks) >= 3)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), ok AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) BETWEEN 2 AND 100
+            ), shf AS (SELECT sh.* FROM sh JOIN ok USING (shingle)
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM shf a JOIN shf b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common * 1.0 /
+                      (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT s AS id, s AS lbl FROM edges
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ), comp AS (
+                SELECT id, min(lbl) AS comp FROM reach GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.comp, d.doc_id) AS comp,
+                   d.doc_id = coalesce(c.comp, d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "top_terms_per_doc": f"""
             WITH toks AS (

@@ -119,13 +119,27 @@ def build_bloom(urls: DataFrame, expected: int | None = None,
 
 
 def filter_new_urls(candidates: DataFrame, seen_urls: DataFrame,
-                    bloom: BloomFilter | None) -> DataFrame:
+                    bloom: BloomFilter | None,
+                    seen_count: int | None = None,
+                    broadcast_below: int = 4_000_000) -> DataFrame:
     """Candidates not yet in the seen set.
 
     ``candidates`` and ``seen_urls`` must both expose a ``url`` column.  With
     a Bloom, only the possibly-seen slice pays the anti-join shuffle; the
     definitely-new slice flows straight through.
+
+    ``seen_count`` (if the caller already knows it — the wave engine gets
+    the frontier size for free from its head job) gates a broadcast hint on
+    the SEEN side of the exact anti-join: below ``broadcast_below`` rows
+    (~a few hundred MB of url strings at the cap) the anti-join becomes a
+    map-side broadcast probe and the per-wave shuffle of the whole seen set
+    disappears.  Above it — the 10^10-frontier regime — the hint is
+    withheld and the join shuffles as before (where an Iceberg seen table
+    bucketed by url would prune instead).  Exactness is never traded: the
+    Bloom only routes rows, the broadcast only changes the join strategy.
     """
+    if seen_count is not None and seen_count < broadcast_below:
+        seen_urls = F.broadcast(seen_urls.select("url"))
     if bloom is None:
         return candidates.join(seen_urls.select("url"), "url", "left_anti")
 

@@ -93,6 +93,9 @@ class WaveEngine:
         self.extracted_t = SnapshotTable(os.path.join(work_dir, "extracted"))
         self.lineage_t = SnapshotTable(os.path.join(work_dir, "lineage"))
         self._bloom: DD.BloomFilter | None = None
+        # sampled mean page size (set by run()'s batch tuning; sizes the
+        # pruned-scan coalesce)
+        self._avg_page_bytes = 24 * 1024
         # politeness state lives driver-side between waves (budgets are
         # broadcast-bound, so they fit by construction); the budgets table
         # is still committed every wave for resume
@@ -184,14 +187,22 @@ class WaveEngine:
         # one job: materialize the claim cache AND produce the per-host
         # claim counts (feeds the driver-side budget spend) AND count the
         # still-eligible frontier — per-wave fixed job count bounds scaling
-        head_rows = (claimed.groupBy("host").agg(F.count("*").alias("n"))
+        head_rows = (claimed.groupBy("host")
+                     .agg(F.count("*").alias("n"),
+                          F.min("url").alias("lo"), F.max("url").alias("hi"))
                      .unionByName(
                          frontier.filter(
                              FR.eligibility_predicate(self.max_attempts))
                          .agg(F.count("*").alias("n"))
-                         .select(F.lit("\0pending").alias("host"), "n"))
+                         .select(F.lit("\0pending").alias("host"), "n",
+                                 F.lit(None).cast("string").alias("lo"),
+                                 F.lit(None).cast("string").alias("hi")))
                      .collect())
         used = {r.host: r.n for r in head_rows if r.host != "\0pending"}
+        # per-host claimed url ranges, for row-group pruning of the fetch
+        # scan (comes back on the same fused head job — no extra job)
+        url_bounds = [(r.lo, r.hi) for r in head_rows
+                      if r.host != "\0pending" and r.lo is not None]
         pending = next(r.n for r in head_rows if r.host == "\0pending")
         n_claimed = sum(used.values())
         t0 = _t("dequeue", t0)
@@ -206,8 +217,25 @@ class WaveEngine:
         # rows (small: bounded by politeness budgets) are the broadcast build
         # side; the html payloads stay distributed on the pages side — never
         # broadcast page bytes.
-        hits = (pages.select("url", "html")
-                .join(F.broadcast(claimed), "url", "inner"))
+        #
+        # Scan pruning: the pages table is url-sorted, so each parquet row
+        # group carries tight min/max url stats; pushing the claimed per-host
+        # url ranges as an OR-of-BETWEEN filter lets the scan SKIP every row
+        # group outside them before touching the html column — the vanilla-
+        # parquet analog of an Iceberg scan pruning to claimed buckets.  A
+        # small wave (seeds only, a few hosts) then reads a few percent of
+        # the corpus instead of all of it.  The filter is a superset of the
+        # claims (the join stays exact); capped at 256 ranges so the pushed
+        # predicate never explodes on a 10^5-host frontier — beyond that the
+        # full scan was inevitable anyway.
+        page_src = pages.select("url", "html")
+        bound_pred = None
+        if 0 < len(url_bounds) <= 256:
+            for lo, hi in url_bounds:
+                rng = F.col("url").between(lo, hi)
+                bound_pred = rng if bound_pred is None else bound_pred | rng
+            page_src = page_src.filter(bound_pred)
+        hits = page_src.join(F.broadcast(claimed), "url", "inner")
 
         # the probe output inherits the pages scan's partitioning (parquet
         # splits at local scale, claimed buckets at Iceberg scale).  Only
@@ -219,6 +247,18 @@ class WaveEngine:
         if src_parts < cores:
             n_par = int(max(cores, min(512, n_claimed // 400), 8))
             hits = hits.repartition(n_par, "url")
+        elif bound_pred is not None:
+            # file splits are fixed before the pruning filter runs, so a
+            # small wave would otherwise schedule every split as a task
+            # that opens a footer and skips — coalesce the pruned scan to
+            # the claim-sized task count (merged splits skip their pruned
+            # row groups for the cost of a stats check)
+            est_parts = int(max(2 * cores,
+                                (n_claimed * self._avg_page_bytes)
+                                // (16 * 2**20) + 1))
+            if est_parts < src_parts:
+                hits = (page_src.coalesce(est_parts)
+                        .join(F.broadcast(claimed), "url", "inner"))
         parsed_hits = PS.parse_pages(hits).persist()
 
         # fetch misses become error rows (retry budget via crawler_count,
@@ -268,8 +308,13 @@ class WaveEngine:
             PL.robots_allowed(PS.explode_links(parsed, wave_id=wave),
                               self.robots()))
         candidates = candidates.persist()
+        # seen side = the whole frontier url set; the head job counted the
+        # pending slice, so approximate the frontier size from the table's
+        # row-count metadata kept by the delta log (cheap, driver-side)
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
-                                      self._bloom).persist()
+                                      self._bloom,
+                                      seen_count=self.frontier_t.approx_rows()
+                                      ).persist()
         # ONE control-collect job materializes both caches and yields the
         # candidate/new counters, the per-partition lineage counters, and
         # the blocked-host set — per-wave fixed job count is what bounds
@@ -389,7 +434,8 @@ class WaveEngine:
         pages = self.pages().select("url", "html")
         # bytes-bounded Arrow batches for the parse stage (row cap derived
         # from sampled page size — see PS.tune_arrow_batch)
-        PS.tune_arrow_batch(self.spark, pages)
+        rows_per_batch = PS.tune_arrow_batch(self.spark, pages)
+        self._avg_page_bytes = max(1024, (16 * 2**20) // rows_per_batch)
         if self.cache_pages:
             pages = pages.persist()
         all_stats = []

@@ -204,6 +204,26 @@ class DeltaTable(SnapshotTable):
             return 0
         return len(cur["dirs"]) - cur["meta"].get("n_base", len(cur["dirs"]))
 
+    def approx_rows(self) -> int | None:
+        """Upper bound on the merged row count, from parquet footer
+        metadata only (driver-side, no Spark job) — base + delta rows,
+        counting a key once per version it appears in.  Callers use it to
+        gate size-dependent strategies (e.g. broadcasting the seen side of
+        an anti-join); an over-estimate degrades to the conservative
+        strategy, never to a wrong result."""
+        import pyarrow.parquet as pq
+        cur = self.current_snapshot()
+        if cur is None:
+            return None
+        total = 0
+        for d in cur["dirs"]:
+            base = os.path.join(self.path, d)
+            for f in os.listdir(base):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(base, f)).metadata.num_rows
+        return total
+
     def read(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
