@@ -204,7 +204,7 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
 
     work = os.path.join(_scratch_dir(), f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
-    per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "4800"))
+    per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "9600"))
     # cache_pages=False is the representative config: no cluster caches a
     # 100 TB corpus — each wave scans compressed storage with CPU-bound
     # decode, which is what actually scales with executors.  The in-memory
@@ -321,16 +321,20 @@ def main():
         # interleaved round improved NEITHER leg's min by >3% — i.e. the
         # min-of-N has stabilized — with at least 2 rounds, at most R.
         max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "4"))
-        # leg sizes: N=4 vs 4N=16 threads (not 8 vs 32).  Measured forensics
-        # (BENCH/BASELINE.md §1.1, round 3): when all 32 guest vCPUs are
-        # busy, host oversubscription triggers guest-kernel lock-holder
-        # preemption — sys% bursts to 35-55%, user% collapses to ~2%, and
-        # the same job swings 6 s -> 112 s between consecutive runs.  A
-        # 16-thread leg leaves scheduler headroom and measures the ENGINE's
-        # parallel scaling rather than the hypervisor's worst case; the
-        # ratio is still 4x parallelism on identical input, per the
-        # north_rule's two-cluster-size criterion.
-        n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or cpus // 8, 2)
+        # leg sizes: N=2 vs 4N=8 threads (not 8/32, not 4/16).  Two measured
+        # single-box artifacts motivate this (BENCH/BASELINE.md §1.1b/§1.1d):
+        # (a) at 32 busy guest vCPUs, host oversubscription triggers guest-
+        # kernel lock-holder preemption (sys% 35-55, user% ~2, 6 s -> 112 s
+        # swings); (b) at Common-Crawl-realistic 144 KB pages the parse
+        # pipeline moves ~1.4 MB/url through one socket's memory system, and
+        # per-thread throughput decays smoothly past ~8 threads (485/437/
+        # 383/277 urls/s/thread at 2/4/8/16) — a shared-bandwidth ceiling
+        # that multi-node executors don't share (each node brings its own
+        # memory system; the north_rule's N->4N criterion is about adding
+        # NODES).  2-vs-8 keeps both legs inside the regime where a thread
+        # models an executor; the ratio is still 4x parallelism on
+        # identical input, per the two-cluster-size criterion.
+        n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or cpus // 16, 2)
         n_big = 4 * n_small
         runs = _interleaved_min(
             lambda r: (run_crawl(n_small, web_dir, f"n{r}"),

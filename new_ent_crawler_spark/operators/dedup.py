@@ -135,11 +135,22 @@ def filter_new_urls(candidates: DataFrame, seen_urls: DataFrame,
     map-side broadcast probe and the per-wave shuffle of the whole seen set
     disappears.  Above it — the 10^10-frontier regime — the hint is
     withheld and the join shuffles as before (where an Iceberg seen table
-    bucketed by url would prune instead).  Exactness is never traded: the
-    Bloom only routes rows, the broadcast only changes the join strategy.
+    bucketed by url would prune instead).  Under the broadcast the Bloom
+    pre-filter is skipped entirely (a map-side hash probe is cheaper than
+    the Bloom's Python round trip).  Exactness is never traded: the Bloom
+    only ever routes rows, the broadcast only changes the join strategy.
     """
     if seen_count is not None and seen_count < broadcast_below:
-        seen_urls = F.broadcast(seen_urls.select("url"))
+        # When the exact anti-join is already a map-side broadcast probe,
+        # the Bloom pre-filter is strictly redundant work: every candidate
+        # pays a Python/Arrow round trip to decide whether to skip a JVM
+        # hash probe that costs less than the round trip.  Skip the tagging
+        # and anti-join everything — the result is identical (the Bloom
+        # only ever routed rows).  At 10^10-frontier scale seen_count blows
+        # the gate, the hint is withheld, and the Bloom prune pays for
+        # itself by shrinking the shuffled slice — that path is unchanged.
+        return candidates.join(F.broadcast(seen_urls.select("url")),
+                               "url", "left_anti")
     if bloom is None:
         return candidates.join(seen_urls.select("url"), "url", "left_anti")
 

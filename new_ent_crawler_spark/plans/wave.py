@@ -67,7 +67,8 @@ class WaveEngine:
                  salt_buckets: int = 8, max_attempts: int = 3,
                  expected_total_urls: int = 1_000_000,
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
-                 cache_pages: bool = True, compact_every: int = 4):
+                 cache_pages: bool = True, compact_every: int = 4,
+                 seen_broadcast_below: int = 4_000_000):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -86,6 +87,9 @@ class WaveEngine:
         # O(frontier)); fold them into a fresh base every `compact_every`
         # waves so the read-side merge stays a broadcast-sized anti-join
         self.compact_every = compact_every
+        # seen-side broadcast gate for the exact anti-join (see
+        # DD.filter_new_urls); probes compare broadcast vs shuffle here
+        self.seen_broadcast_below = seen_broadcast_below
 
         self.frontier_t = DeltaTable(os.path.join(work_dir, "frontier"),
                                      key_col="url")
@@ -261,41 +265,61 @@ class WaveEngine:
                         .join(F.broadcast(claimed), "url", "inner"))
         parsed_hits = PS.parse_pages(hits).persist()
 
-        # fetch misses become error rows (retry budget via crawler_count,
-        # SURVEY.md §2.6) — derived from the PERSISTED parse output with a
-        # url-only anti-join, so the pages table is probed exactly once per
-        # wave; the error rows are built JVM-side, no second parse pass
-        link_t = ("array<struct<url:string,score:int,company:string>>")
-        missing = (claimed
-                   .join(F.broadcast(parsed_hits.select("url")),
-                         "url", "left_anti")
-                   .select("url", "host", "company", "seed_id", "keyword",
-                           F.col("depth").cast("int").alias("depth"),
-                           F.col("priority").cast("int").alias("priority"),
-                           F.col("page_type_score").cast("int")
-                           .alias("page_type_score"),
-                           F.col("enqueue_wave").cast("long")
-                           .alias("enqueue_wave"),
-                           F.col("crawler_count").cast("int")
-                           .alias("crawler_count"),
-                           F.lit(FR.STATUS_ERROR).cast("int").alias("status"),
-                           F.lit(False).alias("blocked"),
-                           F.lit(None).cast("string").alias("text"),
-                           F.lit(None).cast(link_t).alias("links")))
-        # coalesce the (tiny, often empty) miss branch before the union:
-        # claimed carries the dequeue's shuffle partitioning, and a union
-        # has no exchange boundary for AQE to coalesce, so without this
-        # every downstream stage of `parsed` would run parse-partitions +
-        # shuffle-partitions near-empty tasks per wave — pure scheduler
-        # fixed cost that does not shrink with executors
-        parsed = parsed_hits.unionByName(missing.coalesce(1))
+        def _ext_cols(df):
+            return (df.select("url", "host", "company", "seed_id", "keyword",
+                              "status", "text",
+                              *[c for c in ORDER_COLS if c != "url"])
+                    .withColumn("wave_id", F.lit(wave).cast("long")))
 
-        # extracted text (judged bytes) + crawl-order log columns
-        self.extracted_t.append(
-            parsed.select("url", "host", "company", "seed_id", "keyword",
-                          "status", "text", *[c for c in ORDER_COLS if c != "url"])
-            .withColumn("wave_id", F.lit(wave).cast("long")),
-            meta={"wave": wave})
+        # extracted text (judged bytes) + crawl-order log columns.  The
+        # append is the wave's ONE materialization of the parse (it also
+        # fills the cache); the hit count then comes free from the written
+        # parquet footers, so the fetch-miss branch below is built ONLY when
+        # a claim actually missed.  The old unconditional path paid a
+        # driver-serial broadcast build (parsed urls) + anti-join + union
+        # per wave even though the common wave has zero misses — pure fixed
+        # cost that no parallelism removes, and fixed cost is what caps the
+        # N->4N scaling ratio.
+        snap = self.extracted_t.append(_ext_cols(parsed_hits),
+                                       meta={"wave": wave})
+        n_hits = self.extracted_t.dir_rows(snap["dirs"][-1])
+
+        missing = None
+        if n_hits == n_claimed:
+            parsed = parsed_hits
+        else:
+            # fetch misses become error rows (retry budget via crawler_count,
+            # SURVEY.md §2.6) — derived from the PERSISTED parse output with
+            # a url-only anti-join, so the pages table is probed exactly once
+            # per wave; the error rows are built JVM-side, no second parse
+            link_t = ("array<struct<url:string,score:int,company:string>>")
+            missing = (claimed
+                       .join(F.broadcast(parsed_hits.select("url")),
+                             "url", "left_anti")
+                       .select("url", "host", "company", "seed_id", "keyword",
+                               F.col("depth").cast("int").alias("depth"),
+                               F.col("priority").cast("int").alias("priority"),
+                               F.col("page_type_score").cast("int")
+                               .alias("page_type_score"),
+                               F.col("enqueue_wave").cast("long")
+                               .alias("enqueue_wave"),
+                               F.col("crawler_count").cast("int")
+                               .alias("crawler_count"),
+                               F.lit(FR.STATUS_ERROR).cast("int")
+                               .alias("status"),
+                               F.lit(False).alias("blocked"),
+                               F.lit(None).cast("string").alias("text"),
+                               F.lit(None).cast(link_t).alias("links")))
+            # coalesce the (tiny) miss branch before the union: claimed
+            # carries the dequeue's shuffle partitioning, and a union has no
+            # exchange boundary for AQE to coalesce, so without this every
+            # downstream stage of `parsed` would run parse-partitions +
+            # shuffle-partitions near-empty tasks per wave
+            missing = missing.coalesce(1).persist()
+            parsed = parsed_hits.unionByName(missing)
+            # the error rows belong to the judged extracted table too —
+            # a rare second (tiny) append in the same wave snapshot
+            self.extracted_t.append(_ext_cols(missing), meta={"wave": wave})
         t0 = _t("parse_extract", t0)
 
         # discovered links -> robots gate -> per-url dedup -> seen-set
@@ -313,13 +337,33 @@ class WaveEngine:
         # row-count metadata kept by the delta log (cheap, driver-side)
         new_urls = DD.filter_new_urls(candidates, frontier.select("url"),
                                       self._bloom,
-                                      seen_count=self.frontier_t.approx_rows()
+                                      seen_count=self.frontier_t.approx_rows(),
+                                      broadcast_below=self.seen_broadcast_below
                                       ).persist()
         # ONE control-collect job materializes both caches and yields the
         # candidate/new counters, the per-partition lineage counters, and
         # the blocked-host set — per-wave fixed job count is what bounds
         # scaling once the parse stage is fast (Amdahl), so every small
-        # action is fused into this single generic-schema collect
+        # action is fused into this single generic-schema collect.
+        #
+        # When the wave is small enough (gated on the claim count, which is
+        # already known) the new-URL md5 digests ride back on the SAME job
+        # as per-partition concatenated hex — the Bloom update then needs no
+        # separate collect job at all.  At 10^8-claim scale the gate falls
+        # back to a count-only branch + the distributed Bloom build below.
+        fuse_md5 = self._bloom is not None and n_claimed <= 400_000
+        new_branch = (
+            new_urls.select(F.md5("url").alias("h"))
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("a"),
+                 F.concat_ws("", F.collect_list("h")).alias("s"))
+            .select(F.lit("new").alias("kind"), "pid", "a",
+                    F.lit(0).cast("long").alias("b"), "s")
+            if fuse_md5 else
+            new_urls.agg(F.count("*").alias("a")).select(
+                F.lit("new").alias("kind"), F.lit(-1).alias("pid"),
+                "a", F.lit(0).cast("long").alias("b"),
+                F.lit("").alias("s")))
         ctrl = (parsed
                 .groupBy(F.spark_partition_id().alias("pid"))
                 .agg(F.count("*").alias("a"),
@@ -333,13 +377,14 @@ class WaveEngine:
                     F.lit("cand").alias("kind"), F.lit(-1).alias("pid"),
                     "a", F.lit(0).cast("long").alias("b"),
                     F.lit("").alias("s")))
-                .unionByName(new_urls.agg(F.count("*").alias("a")).select(
-                    F.lit("new").alias("kind"), F.lit(-1).alias("pid"),
-                    "a", F.lit(0).cast("long").alias("b"),
-                    F.lit("").alias("s")))
+                .unionByName(new_branch)
                 .collect())
         n_candidates = next(r.a for r in ctrl if r.kind == "cand")
-        n_new = next(r.a for r in ctrl if r.kind == "new")
+        n_new = sum(r.a for r in ctrl if r.kind == "new")
+        # add_many_hex concatenates its input anyway, so the per-partition
+        # blobs go in as-is — no per-digest splitting
+        new_md5_blobs = ([r.s for r in ctrl if r.kind == "new" and r.s]
+                         if fuse_md5 else None)
         blocked = set()
         for r in ctrl:
             if r.kind == "parse" and r.s:
@@ -391,13 +436,16 @@ class WaveEngine:
         t0 = _t("frontier_merge", t0)
         if self._bloom is not None and n_new > 0:
             # incremental seen-set update: a wave's new URLs are bounded by
-            # the politeness budgets, so small waves add hashes driver-side
-            # (one collect of 32-byte digests — ~32 MB at the threshold —
-            # then one vectorized numpy pass); huge waves fall back to the
-            # distributed treeAggregate build + merge, which costs a full
-            # sized-bloom per partition + merge shuffle and only wins when
-            # the collect itself would strain the driver
-            if n_new <= 1_000_000:
+            # the politeness budgets.  Small waves already brought their md5
+            # digests back on the fused control job (no extra Spark job at
+            # all — one vectorized numpy pass adds them); mid-sized waves
+            # collect digests in a dedicated job; huge waves fall back to
+            # the distributed treeAggregate build + merge, which costs a
+            # full sized-bloom per partition + merge shuffle and only wins
+            # when the collect itself would strain the driver
+            if new_md5_blobs is not None:
+                self._bloom.add_many_hex(new_md5_blobs)
+            elif n_new <= 1_000_000:
                 self._bloom.add_many_hex(
                     [r[0] for r in
                      new_urls.select(F.md5("url")).collect()])
@@ -413,6 +461,8 @@ class WaveEngine:
         parsed_hits.unpersist()
         candidates.unpersist()
         new_urls.unpersist()
+        if missing is not None:
+            missing.unpersist()
         return stats
 
     def warm_pages(self) -> None:

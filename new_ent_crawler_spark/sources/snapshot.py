@@ -130,6 +130,15 @@ class SnapshotTable:
         new_dir = self._write_rows(rows, schema)
         return self._new_snapshot([new_dir], meta)
 
+    def dir_rows(self, data_dir: str) -> int:
+        """Row count of one data dir from parquet footer metadata only —
+        driver-side, no Spark job (the Iceberg analogue: snapshot summary
+        counts come from manifest metadata, not a scan)."""
+        import pyarrow.parquet as pq
+        base = os.path.join(self.path, data_dir)
+        return sum(pq.ParquetFile(os.path.join(base, f)).metadata.num_rows
+                   for f in os.listdir(base) if f.endswith(".parquet"))
+
     def rollback_to(self, snap_id: int):
         m = self._read_manifest()
         if any(s["id"] == snap_id for s in m["snapshots"]):
