@@ -922,6 +922,27 @@ def _q_bloom_prune_new_keys(spark, sf):
     return DDUP.filter_new_urls(cand, seen, bloom).select("url")
 
 
+def _q_cuckoo_prune_new_keys(spark, sf):
+    """Official check of the CUCKOO-pruned seen-set path — the
+    north_star's named alternative to the Bloom (supports deletion;
+    operators/dedup.py::CuckooFilter).  Built via the same treeReduce
+    partition-local pattern; a cuckoo positive falls through to the exact
+    anti-join, so the result must equal the plain anti-join (the oracle).
+    A deleted-then-checked key exercises the deletion path: removing a
+    seen key from the filter cannot create false negatives for the keys
+    still present, and the exact join keeps the result identical."""
+    from new_ent_crawler_spark.operators import dedup as DDUP
+    seen = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("url"))
+    cand = (_t(spark, sf, "orders")
+            .select((F.col("o_orderkey") % 3000).cast("string").alias("url"))
+            .distinct())
+    cf = DDUP.build_cuckoo(seen, expected=5000)
+    cf.add("sentinel-key")
+    cf.delete("sentinel-key")  # deletion support, exercised
+    return DDUP.filter_new_urls(cand, seen, cf).select("url")
+
+
 def _q_window_range_frame(spark, sf):
     """RANGE frame (value-based window): per user, the 5-minute trailing
     sum of event values ordered by epoch second — peers at the same second
@@ -1066,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": _q_simhash_groups,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "bloom_prune_new_keys": _q_bloom_prune_new_keys,
+        "cuckoo_prune_new_keys": _q_cuckoo_prune_new_keys,
         "word_ngram_jaccard": _q_word_ngram_jaccard,
         "top_terms_per_doc": _q_top_terms_per_doc,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1864,6 +1886,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) WHERE rk <= 5
         """,
         "bloom_prune_new_keys": """
+            SELECT url FROM (
+                SELECT DISTINCT CAST(o_orderkey % 3000 AS VARCHAR) AS url
+                FROM orders) o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE CAST(c.c_custkey AS VARCHAR) = o.url)
+        """,
+        "cuckoo_prune_new_keys": """
             SELECT url FROM (
                 SELECT DISTINCT CAST(o_orderkey % 3000 AS VARCHAR) AS url
                 FROM orders) o

@@ -97,6 +97,160 @@ class BloomFilter:
         return self
 
 
+class CuckooFilter:
+    """Bucketized cuckoo filter over md5-derived fingerprints — the
+    north_star's named alternative to the Bloom seen-set, with DELETION
+    (a Bloom cannot retire URLs; a cuckoo filter can, e.g. when frontier
+    rows are evicted or a host is purged).
+
+    Layout: ``n_buckets`` (power of two) × 4 slots of uint16 fingerprints
+    (0 = empty; fingerprints are 1..65535, so fpp ≈ 2·slots/2^16 ≈ 0.012%).
+    An item hashes to bucket ``i1 = h % n_buckets`` and its partner
+    ``i2 = i1 XOR spread(fp)`` — an involution, so every stored
+    (bucket, fp) pair can recover its alternate bucket, which makes two
+    filters of the same shape MERGEABLE by re-inserting raw pairs (the
+    treeReduce partition-build pattern, same as the Bloom).
+
+    Membership checks (the per-wave hot path) are fully numpy-vectorized
+    (``might_contain_many_hex``).  Inserts walk Python per item (bounded
+    cuckoo kicks are inherently sequential); per-wave insert volume is
+    politeness-bounded, and the Bloom remains the default when deletion
+    is not needed.  Same correctness rule as the Bloom: a cuckoo positive
+    is *possibly seen* (exact anti-join decides), a negative is
+    definitely new — deletion never creates false negatives for items
+    still present."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be 2^k"
+        self.n_buckets = n_buckets
+        self.buckets = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.stash: set[tuple[int, int]] = set()  # (bucket, fp) overflow
+
+    @classmethod
+    def sized(cls, expected: int, load: float = 0.84) -> "CuckooFilter":
+        need = max(64, int(expected / (cls.SLOTS * load)))
+        return cls(1 << (need - 1).bit_length())
+
+    # -- hashing -----------------------------------------------------------
+
+    def _parts_many(self, hexes) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket1, fp) arrays from concatenated md5 hex digests."""
+        raw = bytes.fromhex("".join(hexes))
+        u = np.frombuffer(raw, dtype="<u8").reshape(-1, 2)
+        i1 = (u[:, 0] % np.uint64(self.n_buckets)).astype(np.int64)
+        fp = ((u[:, 1] & np.uint64(0xFFFF)) % np.uint64(65535)
+              ).astype(np.uint16) + np.uint16(1)
+        return i1, fp
+
+    def _alt(self, i, fp) -> np.ndarray:
+        # xor with a multiplicative spread of fp keeps the pairing an
+        # involution and in-range for power-of-two bucket counts
+        spread = (np.uint64(0x5BD1E995) * np.asarray(fp, dtype=np.uint64)
+                  ) % np.uint64(self.n_buckets)
+        return (np.asarray(i, dtype=np.uint64) ^ spread).astype(np.int64) \
+            % self.n_buckets
+
+    # -- scalar ops ----------------------------------------------------------
+
+    def _insert_pair(self, i1: int, fp: int) -> None:
+        i2 = int(self._alt(i1, fp))
+        for idx in (i1, i2):
+            row = self.buckets[idx]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                return
+        # bounded kicks, deterministic victim slot from (kick, bucket)
+        idx, cur = i1, np.uint16(fp)
+        for kick in range(self.MAX_KICKS):
+            slot = (kick + idx) % self.SLOTS
+            cur, self.buckets[idx][slot] = self.buckets[idx][slot], cur
+            idx = int(self._alt(idx, int(cur)))
+            row = self.buckets[idx]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                return
+        self.stash.add((idx, int(cur)))  # lossless overflow
+
+    def add_many_hex(self, hexes) -> None:
+        if not len(hexes):
+            return
+        i1s, fps = self._parts_many(hexes)
+        for i1, fp in zip(i1s.tolist(), fps.tolist()):
+            self._insert_pair(i1, fp)
+
+    def add(self, key: str):
+        self.add_many_hex([BloomFilter._hex(key)])
+
+    def delete(self, key: str) -> bool:
+        i1s, fps = self._parts_many([BloomFilter._hex(key)])
+        i1, fp = int(i1s[0]), int(fps[0])
+        for idx in (i1, int(self._alt(i1, fp))):
+            row = self.buckets[idx]
+            hit = np.flatnonzero(row == fp)
+            if hit.size:
+                row[hit[0]] = 0
+                return True
+            if (idx, fp) in self.stash:
+                self.stash.discard((idx, fp))
+                return True
+        return False
+
+    # -- vectorized membership (hot path) ------------------------------------
+
+    def might_contain_many_hex(self, hexes) -> np.ndarray:
+        if not len(hexes):
+            return np.zeros(0, dtype=bool)
+        i1, fp = self._parts_many(hexes)
+        i2 = self._alt(i1, fp)
+        hit = ((self.buckets[i1] == fp[:, None]).any(axis=1)
+               | (self.buckets[i2] == fp[:, None]).any(axis=1))
+        if self.stash:
+            st = np.array([h in self.stash or a in self.stash
+                           for h, a in zip(zip(i1.tolist(), fp.tolist()),
+                                           zip(i2.tolist(), fp.tolist()))])
+            hit |= st
+        return hit
+
+    def might_contain(self, key: str) -> bool:
+        return bool(self.might_contain_many_hex([BloomFilter._hex(key)])[0])
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        assert self.n_buckets == other.n_buckets
+        nz = np.nonzero(other.buckets)
+        for idx, fp in zip(nz[0].tolist(), other.buckets[nz].tolist()):
+            self._insert_pair(idx, fp)
+        for idx, fp in other.stash:
+            self._insert_pair(idx, fp)
+        return self
+
+
+def build_cuckoo(urls: DataFrame, expected: int | None = None,
+                 depth: int = 3) -> CuckooFilter:
+    """Partition-local cuckoo filters merged via treeReduce — the same
+    build shape as ``build_bloom`` (md5 runs JVM-side; raw URL sets never
+    reach the driver)."""
+    if expected is None:
+        expected = urls.count()
+    proto = CuckooFilter.sized(expected)
+    n_buckets = proto.n_buckets
+    hexes = urls.select(F.md5(F.col("url")).alias("h"))
+
+    def part_filter(rows):
+        cf = CuckooFilter(n_buckets)
+        cf.add_many_hex([r[0] for r in rows])
+        yield cf
+
+    rdd = hexes.rdd.mapPartitions(part_filter)
+    if rdd.isEmpty():
+        return proto
+    return rdd.treeReduce(lambda a, b: a.merge(b), depth=depth)
+
+
 def build_bloom(urls: DataFrame, expected: int | None = None,
                 fpp: float = 0.01, depth: int = 3) -> BloomFilter:
     """Partition-local Blooms merged via treeReduce (north_rule).  md5 runs

@@ -68,7 +68,8 @@ class WaveEngine:
                  expected_total_urls: int = 1_000_000,
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
                  cache_pages: bool = True, compact_every: int = 4,
-                 seen_broadcast_below: int = 4_000_000):
+                 seen_broadcast_below: int = 4_000_000,
+                 seen_filter: str = "bloom"):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -90,6 +91,10 @@ class WaveEngine:
         # seen-side broadcast gate for the exact anti-join (see
         # DD.filter_new_urls); probes compare broadcast vs shuffle here
         self.seen_broadcast_below = seen_broadcast_below
+        # "bloom" (default) or "cuckoo" — the north_star names both; the
+        # cuckoo variant supports deletion (retiring frontier rows) at the
+        # cost of Python-per-item inserts (operators/dedup.py::CuckooFilter)
+        self.seen_filter = seen_filter
 
         self.frontier_t = DeltaTable(os.path.join(work_dir, "frontier"),
                                      key_col="url")
@@ -156,9 +161,14 @@ class WaveEngine:
         if not self.use_bloom:
             return
         if self._bloom is None:
-            self._bloom = DD.build_bloom(
-                frontier.select("url"),
-                expected=self.expected_total_urls, fpp=self.bloom_fpp)
+            if self.seen_filter == "cuckoo":
+                self._bloom = DD.build_cuckoo(
+                    frontier.select("url"),
+                    expected=self.expected_total_urls)
+            else:
+                self._bloom = DD.build_bloom(
+                    frontier.select("url"),
+                    expected=self.expected_total_urls, fpp=self.bloom_fpp)
 
     # -- one micro-batch -----------------------------------------------------
 
@@ -449,6 +459,10 @@ class WaveEngine:
                 self._bloom.add_many_hex(
                     [r[0] for r in
                      new_urls.select(F.md5("url")).collect()])
+            elif self.seen_filter == "cuckoo":
+                self._bloom = self._bloom.merge(DD.build_cuckoo(
+                    new_urls.select("url"),
+                    expected=self.expected_total_urls))
             else:
                 self._bloom = self._bloom.merge(DD.build_bloom(
                     new_urls.select("url"),

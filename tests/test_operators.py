@@ -80,6 +80,69 @@ def test_bloom_merge_is_union():
     assert a.might_contain("x") and a.might_contain("y")
 
 
+# -- cuckoo filter (the north_star's deletion-capable alternative) ---------
+
+
+def test_cuckoo_no_false_negatives_and_low_fpp():
+    cf = DD.CuckooFilter.sized(1000)
+    keys = [f"k{i}" for i in range(1000)]
+    for k in keys:
+        cf.add(k)
+    assert all(cf.might_contain(k) for k in keys)
+    fp = sum(cf.might_contain(f"other{i}") for i in range(4000)) / 4000
+    assert fp < 0.01  # 16-bit fingerprints: far tighter than the Bloom
+
+
+def test_cuckoo_delete_removes_without_harming_others():
+    cf = DD.CuckooFilter.sized(500)
+    keys = [f"k{i}" for i in range(500)]
+    for k in keys:
+        cf.add(k)
+    for k in keys[::7]:
+        assert cf.delete(k)
+    # deleted keys gone (their fingerprint slot freed) ...
+    deleted_still = sum(cf.might_contain(k) for k in keys[::7])
+    assert deleted_still <= 2  # only residual fp collisions may remain
+    # ... and deletion never creates false negatives for remaining keys
+    remaining = [k for i, k in enumerate(keys) if i % 7 != 0]
+    assert all(cf.might_contain(k) for k in remaining)
+    assert not cf.delete("never-added-key-without-collision-9999")
+
+
+def test_cuckoo_merge_is_union_membership():
+    a = DD.CuckooFilter.sized(400)
+    b = DD.CuckooFilter(a.n_buckets)
+    ka = [f"a{i}" for i in range(150)]
+    kb = [f"b{i}" for i in range(150)]
+    for k in ka:
+        a.add(k)
+    for k in kb:
+        b.add(k)
+    a.merge(b)
+    assert all(a.might_contain(k) for k in ka + kb)
+
+
+def test_cuckoo_overflow_goes_to_stash_lossless():
+    cf = DD.CuckooFilter(64)  # 256 slots; overfill to force kicks + stash
+    keys = [f"k{i}" for i in range(300)]
+    for k in keys:
+        cf.add(k)
+    assert all(cf.might_contain(k) for k in keys)
+
+
+def test_cuckoo_prune_never_changes_result(spark):
+    seen = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(500)], "url string")
+    cand = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(400, 900)], "url string")
+    exact = sorted(r.url for r in
+                   cand.join(seen, "url", "left_anti").collect())
+    cf = DD.build_cuckoo(seen, expected=500)
+    pruned = sorted(r.url for r in
+                    DD.filter_new_urls(cand, seen, cf).collect())
+    assert pruned == exact
+
+
 def test_token_bucket_spend_refill(spark):
     robots = spark.createDataFrame(
         [("h0", ["/private/"], 1.0), ("h1", ["/private/"], 2.0)],

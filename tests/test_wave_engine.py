@@ -109,6 +109,21 @@ def test_resume_from_checkpoint(spark, tiny_web, tmp_path_factory):
     assert resumed.crawl_order() == full.crawl_order()
 
 
+def test_cuckoo_seen_filter_equivalence(crawl, spark, tiny_web,
+                                        tmp_path_factory):
+    """seen_filter="cuckoo" (the north_star's deletion-capable alternative
+    to the Bloom) must yield an identical crawl: same seen set, same crawl
+    order — the filter only ever prunes the exact anti-join."""
+    eng, _, _ = crawl
+    web_dir, _ = tiny_web
+    work = str(tmp_path_factory.mktemp("cuckoo_work"))
+    c = WaveEngine(spark, web_dir, work, per_host_k=8, max_waves=30,
+                   expected_total_urls=10_000, seen_filter="cuckoo")
+    c.run()
+    assert c.seen_urls() == eng.seen_urls()
+    assert c.crawl_order() == eng.crawl_order()
+
+
 def test_delta_frontier_compaction_equivalence(spark, tiny_web,
                                                tmp_path_factory):
     """The merge-on-read frontier (VERDICT r02 ask #6): per-wave commits
