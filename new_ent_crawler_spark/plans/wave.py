@@ -433,11 +433,23 @@ class WaveEngine:
         claim_upd = parsed.select(
             *[c for c in FR.FRONTIER_COLS if c != "crawler_count"],
             (F.col("crawler_count") + 1).cast("int").alias("crawler_count"))
-        delta = (claim_upd.select(*FR.FRONTIER_COLS)
-                 .unionByName(new_urls.select(*FR.FRONTIER_COLS)))
         # a wave's delta is small: keep it in a few files so the per-wave
-        # re-read doesn't accumulate hundreds of tiny tasks
-        self.frontier_t.append_delta(delta.coalesce(8), version=wave,
+        # re-read doesn't accumulate hundreds of tiny tasks.  The two
+        # branches are coalesced SEPARATELY (no extra shuffle — union just
+        # concatenates their partitions) because they are status-
+        # homogeneous: claim updates carry post-parse statuses (mostly
+        # >= 3), new rows are all pending (0).  Homogeneous files give the
+        # next wave's eligibility filter (status < 2) row-group min/max
+        # stats it can prune on — the vanilla-parquet analog of
+        # partitioning the frontier by status (Iceberg: a status partition
+        # spec), keeping the dequeue scan O(pending) as the crawled
+        # fraction grows.  Files holding retryable errors (status 1) stay
+        # unprunable by min/max — correct: they contain eligible rows.
+        delta = (claim_upd.select(*FR.FRONTIER_COLS)
+                 .coalesce(4).sortWithinPartitions("status", "url")
+                 .unionByName(new_urls.select(*FR.FRONTIER_COLS)
+                              .coalesce(4)))
+        self.frontier_t.append_delta(delta, version=wave,
                                      meta={"wave": wave})
         if self.frontier_t.n_deltas() >= self.compact_every:
             self.frontier_t.compact(self.spark, version=wave,

@@ -260,7 +260,21 @@ class DeltaTable(SnapshotTable):
     def compact(self, spark: SparkSession, version: int,
                 n_files: int = 16) -> dict:
         """Fold deltas into a fresh single-base snapshot (bin-pack style);
-        old snapshots keep their dirs for time travel/rollback."""
-        resolved = self.read(spark).coalesce(n_files)
+        old snapshots keep their dirs for time travel/rollback.  The base
+        sorts by status within files (see WaveEngine's delta write): the
+        per-wave eligibility scan then prunes done row groups via parquet
+        min/max stats instead of reading the whole frontier."""
+        resolved = self.read(spark)
+        if "status" in resolved.columns:
+            # range-partition by status (url spreads rows within a status):
+            # each compacted file covers a narrow status range, so the
+            # eligibility scan (status < 2) prunes done files via parquet
+            # min/max stats — the status-partition-spec analog.  The range
+            # exchange's sampling pass runs only at compaction cadence,
+            # never per wave.
+            resolved = resolved.repartitionByRange(
+                n_files, "status", self.key_col)
+        else:
+            resolved = resolved.coalesce(n_files)
         return self.overwrite(resolved, meta={**self.meta(),
                                               "wave": version})
