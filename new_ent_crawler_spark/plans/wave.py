@@ -446,7 +446,7 @@ class WaveEngine:
         # fraction grows.  Files holding retryable errors (status 1) stay
         # unprunable by min/max — correct: they contain eligible rows.
         delta = (claim_upd.select(*FR.FRONTIER_COLS)
-                 .coalesce(4).sortWithinPartitions("status", "url")
+                 .coalesce(4)
                  .unionByName(new_urls.select(*FR.FRONTIER_COLS)
                               .coalesce(4)))
         self.frontier_t.append_delta(delta, version=wave,
