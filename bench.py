@@ -3,29 +3,44 @@
 engine's two-parallelism scaling run (N vs 4N cores on the same input — the
 in-sandbox evidence for the north_rule's N->4N executor scaling gate).
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "suite_seconds", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "crawl": {...}}
 
+Robustness contract (round-4 fix for the rc-124 artifact loss): stdout
+carries exactly one JSON line.  Human progress goes to stderr.  The line is
+kept up to date in an in-memory state dict after EVERY completed
+measurement, and is flushed to stdout by (a) normal completion, (b) a
+SIGTERM/SIGINT handler, or (c) atexit on an unexpected exception — so a
+driver timeout kill still yields a parseable artifact with everything
+measured up to the kill.  An overall wall-clock budget
+(BENCH_BUDGET_SECONDS) stops sampling before the driver's timeout fires in
+the first place: the loop never starts a round it cannot expect to finish.
+
 Env knobs:
-  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
-  SPARK_GRAFT_CPUS     default 32
-  BENCH_CRAWL_COMPANIES default 19200 (synthetic web size for the crawl bench)
+  SPARK_GRAFT_SF_DIR    default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS      default 32
+  BENCH_BUDGET_SECONDS  default 2000 — overall wall-clock budget
+  BENCH_CRAWL_COMPANIES default 6400 (synthetic web size for the crawl bench)
+  BENCH_CRAWL_REPEATS   default 2 (max interleaved rounds per leg pair)
+  BENCH_PARSE_MIN_LEG   default 30 (seconds; calibrates parse-leg loops)
   BENCH_SKIP_CRAWL=1    skip the crawl scaling runs (query suite only)
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # bench hosts have RAM to spare; the library default stays conservative
-os.environ.setdefault("SPARK_DRIVER_MEM", "56g")
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from new_ent_crawler_spark.session import get_spark  # noqa: E402
@@ -39,6 +54,79 @@ HEADLINE = [
     "text_quality", "text_token_count", "simhash_groups",
     "asof_click_purchase", "tpch_q18ish",
 ]
+
+T0 = time.monotonic()
+BUDGET = float(os.environ.get("BENCH_BUDGET_SECONDS", "2000"))
+
+
+def _elapsed() -> float:
+    return time.monotonic() - T0
+
+
+def _remaining() -> float:
+    return BUDGET - _elapsed()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Crash-proof single-line emission
+# ---------------------------------------------------------------------------
+
+_STATE: dict = {}          # the line-to-be, updated after every measurement
+_EMITTED = False
+
+
+def _render_line(out: dict) -> str:
+    line = json.dumps(out)
+    if len(line) > 1900:   # the driver tail-captures ~2000 chars; never clip
+        out = dict(out)
+        out.pop("queries", None)
+        out["queries_note"] = "see BENCH/bench_detail.json"
+        line = json.dumps(out)
+    return line
+
+
+def _emit(final: bool = True) -> None:
+    """Print the current state as THE stdout JSON line (exactly once on the
+    success path; the signal/atexit paths may race but a duplicate complete
+    line is still a parseable artifact)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    line = _render_line(_STATE)
+    print(line, flush=True)
+    try:  # belt-and-braces copy for forensics
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH", "last_line.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    _STATE["terminated_early"] = True
+    _STATE["elapsed_at_kill"] = round(_elapsed(), 1)
+    _emit()
+    # _exit: the JVM child dies with us; no teardown that could delay or
+    # bury the just-flushed line under executor ERROR spam
+    os._exit(143 if signum == signal.SIGTERM else 130)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+atexit.register(_emit)
+
+
+def _quiet(spark):
+    """Bench sessions suppress log4j output entirely: the r03 post-kill
+    tail was 2000 chars of executor teardown ERRORs that buried the
+    artifact; the scaling numbers must never compete with log noise."""
+    spark.sparkContext.setLogLevel("OFF")
+    return spark
 
 
 def _exec(df):
@@ -60,37 +148,72 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def _scratch_dir() -> str:
-    """tmpfs scratch when available: the crawl legs re-scan the full web
-    every wave (cache_pages=False) and write multi-GB snapshot tables; on
-    the sandbox's shared disk that I/O contends with neighbors and adds
-    2-3x run-to-run variance that steal%% never shows.  tmpfs keeps the
-    decode CPU-bound (the part that scales with executors) and makes the
-    N-vs-4N ratio measure compute, not disk luck."""
-    shm = "/dev/shm"
+# ---------------------------------------------------------------------------
+# Scratch-space budgeting (tmpfs when it honestly fits, else disk)
+# ---------------------------------------------------------------------------
+
+def _est_corpus_bytes(companies: int, filler_kb: int) -> int:
+    """Stored (zstd) size estimate: ~33.4 pages/company, and measured
+    stored-page cost ~0.27x the html filler + ~8 KB of structure (24 GB at
+    633k pages / 144 KB filler; 4.1 GB at 24 KB filler)."""
+    n_pages = int(companies * 33.4)
+    return n_pages * int((0.30 * filler_kb + 8) * 1024)
+
+
+_SHM = "/dev/shm"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _shm_free() -> int:
     try:
-        if os.path.isdir(shm) and shutil.disk_usage(shm).free > 40 * 2**30:
-            d = os.path.join(shm, "spark_graft_bench")
-            os.makedirs(d, exist_ok=True)
-            return d
+        if os.path.isdir(_SHM):
+            return shutil.disk_usage(_SHM).free
     except OSError:
         pass
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    return 0
+
+
+def _corpus_root(corpus_bytes: int) -> str:
+    """tmpfs when corpus + work headroom honestly fits: the crawl legs
+    re-scan the full web every wave (cache_pages=False) and the shared disk
+    adds 2-3x run-to-run I/O variance that steal% never shows.  The r03
+    check tested only the corpus against a flat 40 GB; this budgets the SUM
+    (corpus + 2x work dirs + JVM/page-cache headroom) and falls back to
+    disk rather than run tmpfs to the wall mid-leg."""
+    work_est = corpus_bytes // 2      # extracted text + frontier snapshots
+    headroom = 16 * 2**30             # JVM + python workers + slack
+    if _shm_free() > corpus_bytes + 2 * work_est + headroom:
+        d = os.path.join(_SHM, "spark_graft_bench")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return os.path.join(_HERE, "BENCH")
+
+
+def _work_root(corpus_bytes: int) -> str:
+    """Work dirs (snapshot tables, rewritten every leg) go to tmpfs only if
+    there is still room AFTER the corpus is staged."""
+    work_est = corpus_bytes // 2
+    if _shm_free() > 2 * work_est + 12 * 2**30:
+        d = os.path.join(_SHM, "spark_graft_bench")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return os.path.join(_HERE, "BENCH")
 
 
 def _bench_web(companies: int) -> str:
     """Deterministic synthetic web for the crawl bench, generated straight
-    into tmpfs scratch (at Common-Crawl-realistic page sizes the corpus is
-    tens of GB — staging it through the repo's shared disk would double the
-    work and add I/O variance).  Cached by name across bench invocations
-    within a boot."""
+    into scratch (at Common-Crawl-realistic page sizes the corpus is GBs —
+    staging it through the repo's shared disk would double the work and add
+    I/O variance).  Cached by name across bench invocations within a boot."""
     from new_ent_crawler_spark.synth import webgen
     n_hosts = int(os.environ.get("BENCH_HOSTS", "64"))
     per_host = max(1, companies // n_hosts)
     filler_kb = int(os.environ.get("BENCH_FILLER_KB", "144"))
     name = f"webdata_h{n_hosts}_c{per_host}_f{filler_kb}"
-    out = os.path.join(_scratch_dir(), name)
+    root = _corpus_root(_est_corpus_bytes(companies, filler_kb))
+    out = os.path.join(root, name)
     if not os.path.exists(os.path.join(out, "pages.parquet")):
+        _log(f"generating corpus {name} under {root}")
         webgen.generate(out, n_hosts=n_hosts, companies_per_host=per_host,
                         seed=42, filler_kb=filler_kb)
     return out
@@ -132,25 +255,46 @@ def _contaminated(leg: dict) -> bool:
             or leg.get("iowait_pct", 0) >= 10)
 
 
-def _interleaved_min(run_pair, max_repeats: int) -> dict:
-    """Interleaved min-of-N over two legs with a gate-independent stopping
-    rule: stop when one more round improved NEITHER leg's min by >3% (and
-    that round was itself uncontaminated), with at least 2 rounds, at most
-    ``max_repeats`` — extended a little if a leg has not yet seen ONE
-    uncontaminated window per the host markers (never the efficiency
-    value).  ``run_pair(r)`` returns (leg_n_dict, leg_4n_dict)."""
+def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
+                     on_round=None) -> dict:
+    """Interleaved min-of-N over two legs with two gate-independent
+    stopping rules:
+
+    * stability: stop when one more round improved NEITHER leg's min by >3%
+      (and that round was itself uncontaminated), with at least 2 rounds,
+      at most ``max_repeats`` — extended a little if a leg has not yet seen
+      ONE uncontaminated window per the host markers (never the efficiency
+      value);
+    * budget: before starting round r+1, stop if the wall-clock now plus
+      the measured cost of the last round would cross ``deadline``
+      (monotonic seconds since T0).  The first round always runs.
+
+    ``run_pair(r)`` returns (leg_n_dict, leg_4n_dict); ``on_round(runs)``
+    (if given) is called after every completed round so the caller can
+    checkpoint best-so-far results before the next (possibly killed) round.
+    """
     runs = {"n": [], "4n": []}
     hard_cap = max_repeats + 2
     prev_mins = None
     r = 0
     while r < hard_cap:
+        rt0 = time.monotonic()
         rn, r4 = run_pair(r)
+        round_cost = time.monotonic() - rt0
         runs["n"].append(rn)
         runs["4n"].append(r4)
         r += 1
+        if on_round is not None:
+            on_round(runs)
         both_clean_once = all(
             any(not _contaminated(d) for d in runs[leg]) for leg in runs)
         if r >= max_repeats and both_clean_once:
+            break
+        if deadline is not None and _elapsed() + round_cost > deadline:
+            runs["budget_stopped"] = True
+            _log(f"budget stop after {r} rounds "
+                 f"(next round ~{round_cost:.0f}s, "
+                 f"{deadline - _elapsed():.0f}s left in phase)")
             break
         if not both_clean_once:
             continue  # keep sampling until each leg saw a quiet window
@@ -165,9 +309,9 @@ def _interleaved_min(run_pair, max_repeats: int) -> dict:
     return runs
 
 
-def _warmup_web() -> str:
+def _warmup_web(scratch: str) -> str:
     from new_ent_crawler_spark.synth import webgen
-    out = os.path.join(_scratch_dir(), "warmup_web")
+    out = os.path.join(scratch, "warmup_web")
     if not os.path.exists(os.path.join(out, "pages.parquet")):
         webgen.generate(out, n_hosts=16, companies_per_host=3, seed=7)
     return out
@@ -186,23 +330,24 @@ def _bench_conf() -> dict:
     return {"spark.sql.files.maxPartitionBytes": str(mb * 1024 * 1024)}
 
 
-def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
+def run_crawl(cpus: int, web_dir: str, work_root: str, tag: str) -> dict:
     from new_ent_crawler_spark.plans.wave import WaveEngine
-    spark = get_spark(app=f"crawl-bench-{tag}", cpus=cpus,
-                      shuffle_partitions=max(2 * cpus, 8),
-                      extra_conf=_bench_conf())
+    spark = _quiet(get_spark(app=f"crawl-bench-{tag}", cpus=cpus,
+                             shuffle_partitions=max(2 * cpus, 8),
+                             extra_conf=_bench_conf()))
     # steady-state methodology: a throwaway mini-crawl in the same session
     # absorbs the one-time JVM costs (whole-stage-codegen JIT, Python
     # worker pool spin-up, AQE/broadcast machinery) so the timer measures
     # the engine, not session warm-up — first-wave cost at 32 threads was
     # multiples of the steady-state wave
-    wwork = os.path.join(_scratch_dir(), f"warmwork_{tag}")
+    wwork = os.path.join(work_root, f"warmwork_{tag}")
     shutil.rmtree(wwork, ignore_errors=True)
-    WaveEngine(spark, _warmup_web(), wwork, per_host_k=100, max_waves=40,
-               cache_pages=False, expected_total_urls=10_000).run(resume=False)
+    WaveEngine(spark, _warmup_web(work_root), wwork, per_host_k=100,
+               max_waves=40, cache_pages=False,
+               expected_total_urls=10_000).run(resume=False)
     shutil.rmtree(wwork, ignore_errors=True)
 
-    work = os.path.join(_scratch_dir(), f"work_{tag}")
+    work = os.path.join(work_root, f"work_{tag}")
     shutil.rmtree(work, ignore_errors=True)
     per_host_k = int(os.environ.get("BENCH_PER_HOST_K", "9600"))
     # cache_pages=False is the representative config: no cluster caches a
@@ -228,18 +373,20 @@ def run_crawl(cpus: int, web_dir: str, tag: str) -> dict:
            # detail side file, not on stdout
            "wave_timings": [s.get("timings", {}) for s in stats]}
     out.update(_tick_pcts(ticks0, ticks1))
+    _log(f"crawl leg {tag}: {cpus} cores, {elapsed:.1f}s, "
+         f"{out['urls_per_sec']} urls/s")
     return out
 
 
 def run_parse_stage(cpus: int, web_dir: str, tag: str,
-                    repeats: int = 2, loops: int | None = None,
-                    min_leg_seconds: float = 60.0) -> dict:
+                    repeats: int = 1, loops: int | None = None,
+                    min_leg_seconds: float = 30.0) -> dict:
     """Scan+fetch+parse of EVERY page as one long job — the engine's hot
     kernel (vectorized Arrow parse over the compressed pages scan, per
     input_hint) without the wave loop's per-wave commits/counters.  One
-    multi-minute stage amortizes scheduling latency, so this isolates
-    executor scaling of the actual distributed work; the full-crawl number
-    above it additionally carries the per-wave orchestration.
+    long stage amortizes scheduling latency, so this isolates executor
+    scaling of the actual distributed work; the full-crawl number above it
+    additionally carries the per-wave orchestration.
 
     ``loops=None`` calibrates: after warm-up, one untimed full pass sizes
     ``loops`` so the timed leg runs >= min_leg_seconds (a 5 s leg is mostly
@@ -249,9 +396,9 @@ def run_parse_stage(cpus: int, web_dir: str, tag: str,
     from pyspark.sql import functions as F
 
     from new_ent_crawler_spark.operators import parse as PS
-    spark = get_spark(app=f"parse-bench-{tag}", cpus=cpus,
-                      shuffle_partitions=max(2 * cpus, 8),
-                      extra_conf=_bench_conf())
+    spark = _quiet(get_spark(app=f"parse-bench-{tag}", cpus=cpus,
+                             shuffle_partitions=max(2 * cpus, 8),
+                             extra_conf=_bench_conf()))
     pages = spark.read.parquet(os.path.join(web_dir, "pages.parquet"))
     rows = pages.select(
         "url", "html",
@@ -289,7 +436,23 @@ def run_parse_stage(cpus: int, web_dir: str, tag: str,
     out = {"cpus": cpus, "seconds": round(best, 2), "urls": n * loops,
            "loops": loops, "urls_per_sec": round(n * loops / best, 1)}
     out.update(_tick_pcts(ticks0, ticks1))
+    _log(f"parse leg {tag}: {cpus} cores, {best:.1f}s, "
+         f"{out['urls_per_sec']} urls/s")
     return out
+
+
+def _leg(d):  # compact stdout view; full dict goes to the side file
+    return {k: d[k] for k in
+            ("cpus", "seconds", "urls_per_sec", "steal_pct",
+             "iowait_pct", "user_pct", "sys_pct") if k in d}
+
+
+def _eff(runs: dict) -> tuple[dict, dict, float | None]:
+    low = min(runs["n"], key=lambda d: d["seconds"])
+    high = min(runs["4n"], key=lambda d: d["seconds"])
+    eff = round((low["seconds"] / high["seconds"]) / 4.0, 3) \
+        if high["seconds"] > 0 else None
+    return low, high, eff
 
 
 def main():
@@ -297,121 +460,133 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    spark = get_spark(app="bench-queries", cpus=cpus)
+    spark = _quiet(get_spark(app="bench-queries", cpus=cpus))
     t0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
     total = round(time.perf_counter() - t0, 3)
     spark.stop()
+    _log(f"query suite done: {total}s")
 
-    out = {"metric": "suite_seconds", "value": total, "unit": "sec",
-           "queries": qtimes, "sf": sf}
+    _STATE.update({"metric": "suite_seconds", "value": total, "unit": "sec",
+                   "queries": qtimes, "sf": sf})
 
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        # sized so the scalable parse stage dominates per-wave fixed costs
-        # (snapshot commits, counters) at 32 cores — the Amdahl knee moved
-        # after the parse-stage optimizations
-        companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "19200"))
-        web_dir = _bench_web(companies)
-        # the sandbox host has time-varying CPU steal that can inflate one
-        # leg 2-3x; interleave the legs and take the best of up to R repeats
-        # per leg so one contended window cannot poison the ratio (min-of-N
-        # estimates uncontended capability; both legs get equal exposure).
-        # Stopping rule is independent of the efficiency value (stopping on
-        # a favorable ratio would bias the estimate): stop when one more
-        # interleaved round improved NEITHER leg's min by >3% — i.e. the
-        # min-of-N has stabilized — with at least 2 rounds, at most R.
-        max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "4"))
-        # leg sizes: N=2 vs 4N=8 threads (not 8/32, not 4/16).  Two measured
-        # single-box artifacts motivate this (BENCH/BASELINE.md §1.1b/§1.1d):
-        # (a) at 32 busy guest vCPUs, host oversubscription triggers guest-
-        # kernel lock-holder preemption (sys% 35-55, user% ~2, 6 s -> 112 s
-        # swings); (b) at Common-Crawl-realistic 144 KB pages the parse
-        # pipeline moves ~1.4 MB/url through one socket's memory system, and
-        # per-thread throughput decays smoothly past ~8 threads (485/437/
-        # 383/277 urls/s/thread at 2/4/8/16) — a shared-bandwidth ceiling
-        # that multi-node executors don't share (each node brings its own
-        # memory system; the north_rule's N->4N criterion is about adding
-        # NODES).  2-vs-8 keeps both legs inside the regime where a thread
-        # models an executor; the ratio is still 4x parallelism on
-        # identical input, per the two-cluster-size criterion.
-        n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or cpus // 16, 2)
-        n_big = 4 * n_small
-        runs = _interleaved_min(
-            lambda r: (run_crawl(n_small, web_dir, f"n{r}"),
-                       run_crawl(n_big, web_dir, f"4n{r}")),
-            max_repeats)
-        low = min(runs["n"], key=lambda d: d["seconds"])
-        high = min(runs["4n"], key=lambda d: d["seconds"])
-        eff = round((low["seconds"] / high["seconds"]) / 4.0, 3) \
-            if high["seconds"] > 0 else None
-        # the hot-kernel scaling number: the scan+fetch+parse of every page
-        # as one long job per leg — executor scaling of the dominant
-        # distributed work, free of the wave loop's per-wave fixed costs.
-        # The first 4N leg calibrates `loops` so each timed leg is >=60 s
-        # at 4N cores (a 5 s leg mostly measures scheduling); every later
-        # leg does the identical number of passes.  Parse legs get the SAME
-        # interleaved contamination-aware min-of-N as the crawl legs: in
-        # round 2 the parse pair ran once, back-to-back, at the tail of an
-        # hour-long bench — a single contended host window poisoned both
-        # repeats of the 4N leg (107 s vs the 31-39 s this kernel measures
-        # in a quiet window) and the round shipped 0.31 instead of ~0.85.
-        p_state = {"loops": None}
+        run_scaling(_STATE)
 
-        def _parse_pair(r):
-            p4 = run_parse_stage(n_big, web_dir, f"p4n{r}", repeats=1,
-                                 loops=p_state["loops"],
-                                 min_leg_seconds=float(os.environ.get(
-                                     "BENCH_PARSE_MIN_LEG", "60")))
-            p_state["loops"] = p4["loops"]
-            p1 = run_parse_stage(n_small, web_dir, f"pn{r}", repeats=1,
-                                 loops=p_state["loops"])
-            return p1, p4
-        p_runs = _interleaved_min(
-            _parse_pair, int(os.environ.get("BENCH_PARSE_REPEATS", "4")))
-        pn = min(p_runs["n"], key=lambda d: d["seconds"])
-        p4n = min(p_runs["4n"], key=lambda d: d["seconds"])
-        peff = round((pn["seconds"] / p4n["seconds"]) / 4.0, 3) \
-            if p4n["seconds"] > 0 else None
+    _emit()
 
-        def _leg(d):  # compact stdout view; full dict goes to the side file
-            return {k: d[k] for k in
-                    ("cpus", "seconds", "urls_per_sec", "steal_pct",
-                     "iowait_pct", "user_pct", "sys_pct") if k in d}
 
-        out["crawl"] = {"n_cores": _leg(low), "4n_cores": _leg(high),
-                        "scaling_efficiency": eff,
-                        "parse_stage": {"n_cores": _leg(pn),
-                                        "4n_cores": _leg(p4n),
-                                        "scaling_efficiency": peff},
-                        "detail": "BENCH/bench_detail.json"}
-        # full forensics (every repeat, per-wave stage timings, loop count,
-        # methodology note) — too big for the driver's stdout tail capture,
-        # which is why the printed line stays compact
-        detail = {"all_runs": runs, "companies": companies,
-                  "parse_stage": {"n_cores": pn, "4n_cores": p4n,
-                                  "scaling_efficiency": peff,
-                                  "all_runs": p_runs},
-                  "note": "efficiency = (T_N / T_4N) / 4, min-of-N over "
-                          f"{len(runs['n'])} interleaved repeats per leg "
-                          "(stability-stopped, gate-independent, max "
-                          f"{max_repeats}); 1.0 = ideal; parse_stage = the "
-                          "same ratio for the single-job scan+parse hot "
-                          "kernel, loops calibrated to >=60 s at 4N"}
-        dpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH", "bench_detail.json")
+def run_scaling(out: dict) -> None:
+    # sized so one full crawl round (2-core + 8-core leg + warmups) plus
+    # one parse round fit the default budget with room for a second round
+    # of each: ~211k pages at Common-Crawl-realistic 144 KB/page (~8 GB
+    # zstd), cut from r03's 631k/24 GB whose full run overran the driver's
+    # wall clock (BENCH_r03.json rc 124)
+    companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "6400"))
+    filler_kb = int(os.environ.get("BENCH_FILLER_KB", "144"))
+    corpus_bytes = _est_corpus_bytes(companies, filler_kb)
+    web_dir = _bench_web(companies)
+    work_root = _work_root(corpus_bytes)
+    _log(f"corpus at {web_dir}, work dirs under {work_root}")
+
+    # leg sizes: N=2 vs 4N=8 threads (not 8/32, not 4/16).  Two measured
+    # single-box artifacts motivate this (BENCH/BASELINE.md §1.1b/§1.1d):
+    # (a) at 32 busy guest vCPUs, host oversubscription triggers guest-
+    # kernel lock-holder preemption (sys% 35-55, user% ~2, 6 s -> 112 s
+    # swings); (b) at Common-Crawl-realistic 144 KB pages the parse
+    # pipeline moves ~1.4 MB/url through one socket's memory system, and
+    # per-thread throughput decays smoothly past ~8 threads (606/526/277
+    # urls/s/thread at 2/8/16) — a shared-bandwidth ceiling that
+    # multi-node executors don't share (each node brings its own memory
+    # system; the north_rule's N->4N criterion is about adding NODES).
+    # 2-vs-8 keeps both legs inside the regime where a thread models an
+    # executor; the ratio is still 4x parallelism on identical input.
+    n_small = max(int(os.environ.get("BENCH_N_CORES", "0")) or 2, 2)
+    n_big = 4 * n_small
+    geometry = {"geometry_note": "2v8 legs; see BENCH/BASELINE.md §1.1b/d",
+                "per_thread_urls_s_at_2_8_16": [606, 526, 277]}
+
+    detail: dict = {"companies": companies}
+    dpath = os.path.join(_HERE, "BENCH", "bench_detail.json")
+
+    def _flush_detail():
         with open(dpath, "w") as f:
             json.dump(detail, f, indent=1)
 
-    line = json.dumps(out)
-    if len(line) > 1900:  # the driver tail-captures ~2000 chars; never clip
-        out.pop("queries", None)
-        out["queries_note"] = "see BENCH/bench_detail.json"
-        if "crawl" in out:
-            detail["queries"] = qtimes
-            with open(dpath, "w") as f:
-                json.dump(detail, f, indent=1)
-        line = json.dumps(out)
-    print(line)
+    # Budget split: the crawl phase may run until enough is reserved for
+    # one parse round (calibration + one 2-core and one 4N-core leg);
+    # the parse phase keeps a final-write reserve.  The sandbox host has
+    # time-varying CPU steal that can inflate one leg 2-3x, so legs are
+    # interleaved with min-of-N per leg (equal exposure for both legs;
+    # min estimates uncontended capability) and a stability stopping rule
+    # that never looks at the efficiency value (optional-stopping bias).
+    parse_reserve = float(os.environ.get("BENCH_PARSE_RESERVE", "500"))
+    crawl_deadline = BUDGET - parse_reserve
+    parse_deadline = BUDGET - 45
+
+    max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "2"))
+
+    def _crawl_round_done(runs):
+        low, high, eff = _eff(runs)
+        out["crawl"] = {"n_cores": _leg(low), "4n_cores": _leg(high),
+                        "scaling_efficiency": eff,
+                        "rounds": len(runs["n"]), **geometry,
+                        "detail": "BENCH/bench_detail.json"}
+        detail["crawl_all_runs"] = {k: v for k, v in runs.items()}
+        _flush_detail()
+
+    runs = _interleaved_min(
+        lambda r: (run_crawl(n_small, web_dir, work_root, f"n{r}"),
+                   run_crawl(n_big, web_dir, work_root, f"4n{r}")),
+        max_repeats, deadline=crawl_deadline, on_round=_crawl_round_done)
+    if runs.pop("budget_stopped", False):
+        out["crawl"]["budget_stopped"] = True
+
+    # the hot-kernel scaling number: the scan+fetch+parse of every page
+    # as one long job per leg — executor scaling of the dominant
+    # distributed work, free of the wave loop's per-wave fixed costs.
+    # The first 4N leg calibrates `loops` so each timed leg is long enough
+    # that scheduling is noise; every later leg does the identical number
+    # of passes.  Parse legs get the SAME interleaved contamination-aware
+    # min-of-N as the crawl legs: in round 2 the parse pair ran once,
+    # back-to-back, at the tail of an hour-long bench — a single contended
+    # host window poisoned both repeats of the 4N leg and the round
+    # shipped 0.31 instead of ~0.85.
+    p_state = {"loops": None}
+
+    def _parse_pair(r):
+        p4 = run_parse_stage(n_big, web_dir, f"p4n{r}",
+                             loops=p_state["loops"],
+                             min_leg_seconds=float(os.environ.get(
+                                 "BENCH_PARSE_MIN_LEG", "30")))
+        p_state["loops"] = p4["loops"]
+        p1 = run_parse_stage(n_small, web_dir, f"pn{r}",
+                             loops=p_state["loops"])
+        return p1, p4
+
+    def _parse_round_done(p_runs):
+        pn, p4n, peff = _eff(p_runs)
+        out["crawl"]["parse_stage"] = {"n_cores": _leg(pn),
+                                       "4n_cores": _leg(p4n),
+                                       "scaling_efficiency": peff,
+                                       "rounds": len(p_runs["n"])}
+        detail["parse_all_runs"] = {k: v for k, v in p_runs.items()}
+        _flush_detail()
+
+    p_runs = _interleaved_min(
+        _parse_pair, int(os.environ.get("BENCH_PARSE_REPEATS", "2")),
+        deadline=parse_deadline, on_round=_parse_round_done)
+    if p_runs.pop("budget_stopped", False):
+        out["crawl"]["parse_stage"]["budget_stopped"] = True
+
+    detail["queries"] = out.get("queries")
+    detail["note"] = (
+        "efficiency = (T_N / T_4N) / 4 over interleaved min-of-N repeats "
+        "per leg (stability-stopped on leg minima, never on the efficiency "
+        "value; budget-stopped before the driver's wall clock); 1.0 = "
+        "ideal; parse_stage = the same ratio for the single-job "
+        "scan+fetch+parse hot kernel, loops calibrated at 4N")
+    _flush_detail()
 
 
 if __name__ == "__main__":

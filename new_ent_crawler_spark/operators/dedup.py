@@ -112,13 +112,19 @@ class CuckooFilter:
     treeReduce partition-build pattern, same as the Bloom).
 
     Membership checks (the per-wave hot path) are fully numpy-vectorized
-    (``might_contain_many_hex``).  Inserts walk Python per item (bounded
-    cuckoo kicks are inherently sequential); per-wave insert volume is
-    politeness-bounded, and the Bloom remains the default when deletion
-    is not needed.  Same correctness rule as the Bloom: a cuckoo positive
-    is *possibly seen* (exact anti-join decides), a negative is
-    definitely new — deletion never creates false negatives for items
-    still present."""
+    (``might_contain_many_hex``), and bulk inserts place all free-slot
+    fingerprints in two vectorized scatters (primary then alternate
+    bucket) with only the both-buckets-full residue walking the
+    sequential bounded-kick path.  Same correctness rule as the Bloom: a
+    cuckoo positive is *possibly seen* (exact anti-join decides), a
+    negative is definitely new.
+
+    Deletion carries the STANDARD cuckoo caveat: only delete keys known
+    to have been inserted.  Deleting an un-inserted key whose (bucket,
+    fingerprint) pair collides with a different stored key evicts that
+    key's entry — a false negative for an item still present.  Deleting
+    a key that WAS inserted is always safe: a colliding pair means two
+    stored copies, and removing one leaves the other."""
 
     SLOTS = 4
     MAX_KICKS = 500
@@ -176,12 +182,53 @@ class CuckooFilter:
                 return
         self.stash.add((idx, int(cur)))  # lossless overflow
 
+    def _place_batch(self, idx: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized empty-slot placement: for each (bucket, fp) try to
+        claim a free slot of ``idx``'s bucket in one bucket-centric pass
+        (stable-sorted by bucket; item ``r`` of a bucket's group takes that
+        bucket's ``r``-th free slot).  Returns the boolean placed-mask;
+        callers route the residue to the alt bucket / per-item kicks."""
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        ub, starts, counts = np.unique(sidx, return_index=True,
+                                       return_counts=True)
+        # rank of each sorted item within its bucket group
+        rank = np.arange(sidx.size) - np.repeat(starts, counts)
+        rows = self.buckets[ub]                       # (U, SLOTS)
+        is_free = rows == 0
+        free_count = is_free.sum(axis=1)              # (U,)
+        # free slots first (stable): column j = the j-th free slot's index
+        free_slots = np.argsort(~is_free, axis=1, kind="stable")
+        grp = np.repeat(np.arange(ub.size), counts)
+        can = rank < free_count[grp]
+        placed_sorted = np.zeros(sidx.size, dtype=bool)
+        placed_sorted[can] = True
+        tgt_slot = free_slots[grp[can], rank[can]]
+        self.buckets[sidx[can], tgt_slot] = fps[order][can]
+        placed = np.zeros(idx.size, dtype=bool)
+        placed[order] = placed_sorted
+        return placed
+
     def add_many_hex(self, hexes) -> None:
+        """Bulk insert.  Two vectorized passes place every fingerprint
+        whose primary (then alternate) bucket still has a free slot — one
+        numpy scatter each, no Python per item; only the collision residue
+        (both buckets full) walks the sequential bounded-kick path, which
+        at sane load factors is a tiny fraction of the batch."""
         if not len(hexes):
             return
         i1s, fps = self._parts_many(hexes)
-        for i1, fp in zip(i1s.tolist(), fps.tolist()):
-            self._insert_pair(i1, fp)
+        placed = self._place_batch(i1s, fps)
+        if not placed.all():
+            rem = ~placed
+            i2s = self._alt(i1s[rem], fps[rem])
+            fps2 = fps[rem]
+            placed2 = self._place_batch(i2s, fps2)
+            if not placed2.all():
+                rem2 = ~placed2
+                for i1, fp in zip(i1s[rem][rem2].tolist(),
+                                  fps2[rem2].tolist()):
+                    self._insert_pair(i1, fp)
 
     def add(self, key: str):
         self.add_many_hex([BloomFilter._hex(key)])

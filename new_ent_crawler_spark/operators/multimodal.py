@@ -131,19 +131,176 @@ def decode_ppm(payload: bytes):
     return raw.reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor on numpy int vectors (per-channel)."""
+    import numpy as np
+
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes):
+    """Pure stdlib+numpy decode of a non-interlaced 8-bit PNG — the one
+    COMPRESSED format decodable without an imaging library (zlib inflate +
+    the five scanline filters un-applied per the PNG spec §6).
+
+    Color types: 0 (grayscale, replicated to 3 channels), 2 (RGB), and
+    6 (RGBA, alpha dropped).  Returns ``HxWx3 uint8`` RGB.  The Up filter
+    un-applies as one vectorized row op; Sub/Average/Paeth carry a
+    left-neighbor dependency, so they walk pixels within the row with
+    numpy ops per channel triple."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    width = height = None
+    channels = None
+    idat = []
+    while pos + 8 <= n:
+        (ln,), typ = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if zlib.crc32(typ + data) != struct.unpack_from(
+                ">I", payload, pos + 8 + ln)[0]:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    "only 8-bit depth, deflate, filter-method 0 PNG")
+            if inter != 0:
+                raise NotImplementedError("Adam7 interlace not implemented")
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+            if channels is None:
+                raise NotImplementedError(
+                    f"PNG color type {ctype} (palette/gray+alpha) "
+                    "not implemented")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f, row = int(filters[y]), rows[y]
+        prior = recon[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            recon[y] = row
+        elif f == 2:    # Up: fully vectorized
+            recon[y] = row + prior
+        elif f == 1:    # Sub
+            r = recon[y]
+            r[:bpp] = row[:bpp]
+            for x in range(bpp, stride, bpp):
+                r[x:x + bpp] = row[x:x + bpp] + r[x - bpp:x]
+        elif f == 3:    # Average
+            r = recon[y]
+            r[:bpp] = row[:bpp] + prior[:bpp] // 2
+            for x in range(bpp, stride, bpp):
+                r[x:x + bpp] = row[x:x + bpp] + (
+                    (r[x - bpp:x].astype(np.int16)
+                     + prior[x:x + bpp]) // 2).astype(np.uint8)
+        elif f == 4:    # Paeth
+            r = recon[y]
+            r[:bpp] = row[:bpp] + _paeth(
+                np.zeros(bpp, np.uint8), prior[:bpp], np.zeros(bpp, np.uint8))
+            for x in range(bpp, stride, bpp):
+                r[x:x + bpp] = row[x:x + bpp] + _paeth(
+                    r[x - bpp:x], prior[x:x + bpp], prior[x - bpp:x])
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    px = recon.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
+def encode_png(pixels, filter_mode: str = "cycle") -> bytes:
+    """Inverse of :func:`decode_png` for 8-bit RGB: deterministic PNG bytes.
+
+    ``filter_mode='cycle'`` filters row ``y`` with type ``y % 5`` so a
+    round-trip through :func:`decode_png` exercises ALL five PNG filters
+    (None/Sub/Up/Average/Paeth) — any filter defect breaks the pixel
+    digest; ``'none'`` writes filter-0 rows only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    assert c == 3
+    flat = px.reshape(h, w * 3)
+    out = bytearray()
+    for y in range(h):
+        f = (y % 5) if filter_mode == "cycle" else 0
+        row = flat[y].astype(np.int16)
+        prior = (flat[y - 1] if y else np.zeros(w * 3, np.uint8)) \
+            .astype(np.int16)
+        left = np.zeros(w * 3, np.int16)
+        left[3:] = row[:-3]
+        pleft = np.zeros(w * 3, np.int16)
+        pleft[3:] = prior[:-3]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prior
+        elif f == 3:
+            enc = row - (left + prior) // 2
+        else:
+            enc = row - _paeth(left.astype(np.uint8),
+                               prior.astype(np.uint8),
+                               pleft.astype(np.uint8))
+        out.append(f)
+        out += (enc % 256).astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an ``HxWx3 uint8`` RGB numpy array.
 
-    REAL decode paths (pure numpy, no imaging library): uncompressed
-    24-bpp BMP and binary PPM (P6).  Compressed formats (PNG/JPEG/...)
+    REAL decode paths (pure stdlib+numpy, no imaging library):
+    uncompressed 24-bpp BMP, binary PPM (P6), and non-interlaced 8-bit
+    PNG (zlib inflate + all five scanline filters).  JPEG/other formats
     raise ``NotImplementedError`` — those codecs are not shipped in this
     container and are honestly stubbed rather than faked."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image codecs are not shipped in this sandbox")
+        "JPEG/audio codecs are not shipped in this sandbox")
 
 
 def extract_features(media: DataFrame, dim: int = 8,
@@ -310,6 +467,59 @@ def bmp_roundtrip_features(ids: DataFrame, width: int = 4,
                                               BMP_FEATURE_SCHEMA.fields])
 
     return ids.select("doc_id").mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
+def png_roundtrip_features(ids: DataFrame, width: int = 4,
+                           height: int = 5) -> DataFrame:
+    """Encode -> decode -> feature-extract through the REAL PNG codec
+    (compressed: zlib deflate + scanline filters), mirroring
+    :func:`bmp_roundtrip_features`.
+
+    Per id, worker-side: synthesize a deterministic ``width x height`` RGB
+    image (row ``y``'s pixels are the first ``3*width`` bytes of
+    ``md5(f"{doc_id}:png:{y}")`` taken as straight RGB triples), serialize
+    with :func:`encode_png` in ``cycle`` mode — row ``y`` uses PNG filter
+    ``y % 5``, so the default height 5 exercises None/Sub/Up/Average/Paeth
+    — decode back through :func:`decode_image`, and emit per-channel sums
+    plus the md5 of the decoded RGB hex.  The DuckDB oracle reproduces the
+    identical values from md5 string arithmetic alone: a defect in ANY
+    filter, the inflate plumbing, or chunk CRC handling breaks the hash."""
+    import hashlib as _hl
+
+    if width * 3 > 16:
+        raise ValueError("row bytes must fit one md5 digest (width <= 5)")
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("px_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((height, width, 3), dtype=np.uint8)
+                for y in range(height):
+                    row = _hl.md5(
+                        f"{did}:png:{y}".encode()).digest()[:width * 3]
+                    px[y] = np.frombuffer(row, np.uint8).reshape(width, 3)
+                decoded = decode_image(encode_png(px, filter_mode="cycle"))
+                s = decoded.astype(np.int64).sum(axis=(0, 1))
+                rows.append((did, decoded.shape[1], decoded.shape[0],
+                             int(s[0]), int(s[1]), int(s[2]),
+                             _hl.md5(decoded.tobytes().hex().encode())
+                             .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
 
 
 def pages_as_media(pages: DataFrame) -> DataFrame:

@@ -69,7 +69,8 @@ class WaveEngine:
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
                  cache_pages: bool = True, compact_every: int = 4,
                  seen_broadcast_below: int = 4_000_000,
-                 seen_filter: str = "bloom"):
+                 seen_filter: str = "bloom",
+                 verify_unique_urls: bool = False):
         self.spark = spark
         self.data_dir = data_dir
         self.work_dir = work_dir
@@ -95,6 +96,11 @@ class WaveEngine:
         # cuckoo variant supports deletion (retiring frontier rows) at the
         # cost of Python-per-item inserts (operators/dedup.py::CuckooFilter)
         self.seen_filter = seen_filter
+        # opt-in load-time check of the pages unique-url invariant (see
+        # pages() docstring); off by default — at 10^10 rows it is a real
+        # (if column-pruned) aggregate job, and deduped-at-ingest is the
+        # documented contract
+        self.verify_unique_urls = verify_unique_urls
 
         self.frontier_t = DeltaTable(os.path.join(work_dir, "frontier"),
                                      key_col="url")
@@ -105,6 +111,13 @@ class WaveEngine:
         # sampled mean page size (set by run()'s batch tuning; sizes the
         # pruned-scan coalesce)
         self._avg_page_bytes = 24 * 1024
+        # observed new-URLs-per-claim ratio from the previous wave; gates the
+        # fused md5 collect on an ESTIMATE of collected digest volume (the
+        # digests are O(n_new) = claims x out-link fan-out, so gating on
+        # n_claimed alone could pull hundreds of MB through collect() on a
+        # high-fan-out wave before n_new is known).  None until the first
+        # wave reports; the gate then uses a conservative default fan-out.
+        self._new_per_claim: float | None = None
         # politeness state lives driver-side between waves (budgets are
         # broadcast-bound, so they fit by construction); the budgets table
         # is still committed every wave for resume
@@ -113,6 +126,17 @@ class WaveEngine:
     # -- inputs ------------------------------------------------------------
 
     def pages(self) -> DataFrame:
+        """The crawl snapshot (url, warc_ts, html, ... per input_hint).
+
+        INVARIANT: urls are unique.  Real Common-Crawl-style snapshots can
+        carry duplicate captures of a url; dedup them at ingest (keep the
+        latest warc_ts) — the per-wave fetch-miss detection counts hits
+        against claims and duplicate hits would mask misses.  Pass
+        ``verify_unique_urls=True`` to pay one url-column aggregate at run
+        start that asserts the invariant (cheap relative to a crawl: the
+        scan is column-pruned to urls only); the wave loop additionally
+        fails loudly on the first wave where n_hits > n_claimed.
+        """
         return self.spark.read.parquet(
             os.path.join(self.data_dir, "pages.parquet"))
 
@@ -294,6 +318,20 @@ class WaveEngine:
                                        meta={"wave": wave})
         n_hits = self.extracted_t.dir_rows(snap["dirs"][-1])
 
+        # miss detection relies on the pages table having UNIQUE urls (see
+        # pages() docstring; verify_unique_urls opts into a load-time check).
+        # With duplicate captures a duplicate hit could exactly offset a
+        # missed claim (n_hits == n_claimed with a miss), so the missed URL
+        # would silently stay eligible forever.  A dup that is NOT offset by
+        # a miss shows up as n_hits > n_claimed — fail loudly there so a
+        # violated invariant surfaces on the first non-masked wave instead
+        # of livelocking.
+        if n_hits > n_claimed:
+            raise RuntimeError(
+                f"wave {wave}: {n_hits} fetch hits for {n_claimed} claimed "
+                "urls — the pages table has duplicate captures per url; "
+                "dedup it at ingest (keep latest warc_ts) or pass "
+                "verify_unique_urls=True to catch this at startup")
         missing = None
         if n_hits == n_claimed:
             parsed = parsed_hits
@@ -356,12 +394,19 @@ class WaveEngine:
         # scaling once the parse stage is fast (Amdahl), so every small
         # action is fused into this single generic-schema collect.
         #
-        # When the wave is small enough (gated on the claim count, which is
-        # already known) the new-URL md5 digests ride back on the SAME job
-        # as per-partition concatenated hex — the Bloom update then needs no
-        # separate collect job at all.  At 10^8-claim scale the gate falls
-        # back to a count-only branch + the distributed Bloom build below.
-        fuse_md5 = self._bloom is not None and n_claimed <= 400_000
+        # When the wave is small enough the new-URL md5 digests ride back on
+        # the SAME job as per-partition concatenated hex — the Bloom update
+        # then needs no separate collect job at all.  The gate bounds the
+        # ESTIMATED digest volume (32 B/hex-digest x expected new URLs, where
+        # expected-new = claims x the previous wave's observed fan-out with a
+        # 1.5x safety factor; first wave assumes fan-out 50): ~1M expected
+        # new URLs = ~32 MB collected, matching the dedicated path's old
+        # gate.  At 10^8-claim scale this falls back to a count-only branch
+        # + the distributed Bloom build below.
+        est_fanout = (self._new_per_claim if self._new_per_claim is not None
+                      else 50.0)
+        fuse_md5 = (self._bloom is not None
+                    and n_claimed * est_fanout * 1.5 <= 1_000_000)
         new_branch = (
             new_urls.select(F.md5("url").alias("h"))
             .groupBy(F.spark_partition_id().alias("pid"))
@@ -391,6 +436,9 @@ class WaveEngine:
                 .collect())
         n_candidates = next(r.a for r in ctrl if r.kind == "cand")
         n_new = sum(r.a for r in ctrl if r.kind == "new")
+        # feed the observed fan-out back into the next wave's fuse gate
+        if n_claimed > 0:
+            self._new_per_claim = n_new / n_claimed
         # add_many_hex concatenates its input anyway, so the per-partition
         # blobs go in as-is — no per-digest splitting
         new_md5_blobs = ([r.s for r in ctrl if r.kind == "new" and r.s]
@@ -508,6 +556,16 @@ class WaveEngine:
         self._rollback_appends(start)
         self._budgets_pdf = None  # reload politeness state post-rollback
         pages = self.pages().select("url", "html")
+        if self.verify_unique_urls:
+            from pyspark.sql import functions as F
+            dup = (self.pages().select("url").groupBy("url")
+                   .agg(F.count("*").alias("n")).filter("n > 1").limit(1)
+                   .collect())
+            if dup:
+                raise RuntimeError(
+                    f"pages table violates the unique-url invariant "
+                    f"(e.g. {dup[0].url!r} x{dup[0].n}); dedup at ingest "
+                    "(keep latest warc_ts) before crawling")
         # bytes-bounded Arrow batches for the parse stage (row cap derived
         # from sampled page size — see PS.tune_arrow_batch)
         rows_per_batch = PS.tune_arrow_batch(self.spark, pages)

@@ -455,8 +455,15 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
     web = _Web(filler_kb=filler_kb)
     seeds = []
     seed_id = 0
+    # host index zero-padded to the width of n_hosts (min 2, so output is
+    # byte-identical to prior corpora for <=100 hosts): the streaming flush
+    # reproduces the global url-sorted row order only if host names sort
+    # lexicographically in generation order — with a fixed %02d, 'r100'
+    # would sort before 'r99' and the wave engine's row-group min/max
+    # fetch pruning would degrade (stats stay valid; pruning weakens)
+    hw = max(2, len(str(n_hosts - 1)))
     for i in range(n_hosts):
-        host = "r%02d.gsxt.example" % i
+        host = "r%0*d.gsxt.example" % (hw, i)
         n_comp = companies_per_host * (skew_host_factor if i == 0 else 1)
         for j in range(n_comp):
             rnd = random.Random("%d:%d:%d" % (seed, i, j))
@@ -517,7 +524,7 @@ def generate(out_dir: str, n_hosts: int = 8, companies_per_host: int = 4,
     })
     pq.write_table(seeds_tbl, os.path.join(out_dir, "seeds.parquet"))
 
-    hosts = ["r%02d.gsxt.example" % i for i in range(n_hosts)]
+    hosts = ["r%0*d.gsxt.example" % (hw, i) for i in range(n_hosts)]
     robots = pa.table({
         "host": pa.array(hosts, pa.string()),
         "disallow": pa.array([["/private/", "/admin/"] for _ in hosts],

@@ -109,6 +109,43 @@ def test_cuckoo_delete_removes_without_harming_others():
     assert not cf.delete("never-added-key-without-collision-9999")
 
 
+def test_cuckoo_bulk_insert_matches_per_item_and_is_fast():
+    """The vectorized free-slot fast path (VERDICT r03 ask #5): bulk
+    add_many_hex must (a) store the same number of fingerprints as the
+    sequential per-item reference with zero false negatives, and (b) at
+    1M keys land within ~3x of the Bloom's vectorized add_many_hex —
+    the old per-item loop was >20x."""
+    import hashlib
+    import time
+
+    hexes = [hashlib.md5(f"url{i}".encode()).hexdigest()
+             for i in range(1_000_000)]
+
+    sub = hexes[:50_000]
+    cf_v = DD.CuckooFilter.sized(60_000)
+    cf_v.add_many_hex(sub)
+    cf_ref = DD.CuckooFilter.sized(60_000)
+    for h in sub:
+        i1s, fps = cf_ref._parts_many([h])
+        cf_ref._insert_pair(int(i1s[0]), int(fps[0]))
+    assert cf_v.might_contain_many_hex(sub).all()
+    assert ((cf_v.buckets != 0).sum() + len(cf_v.stash)
+            == (cf_ref.buckets != 0).sum() + len(cf_ref.stash))
+
+    cf = DD.CuckooFilter.sized(1_200_000)
+    t0 = time.perf_counter()
+    cf.add_many_hex(hexes)
+    t_cuckoo = time.perf_counter() - t0
+    assert cf.might_contain_many_hex(hexes[:100_000]).all()
+    bf = DD.BloomFilter.sized(1_200_000, 0.01)
+    t0 = time.perf_counter()
+    bf.add_many_hex(hexes)
+    t_bloom = time.perf_counter() - t0
+    # generous CI margin over the measured ~1.4x (host noise); the real
+    # assertion is the order of magnitude — per-item Python would be >20x
+    assert t_cuckoo < 6 * max(t_bloom, 0.2), (t_cuckoo, t_bloom)
+
+
 def test_cuckoo_merge_is_union_membership():
     a = DD.CuckooFilter.sized(400)
     b = DD.CuckooFilter(a.n_buckets)
