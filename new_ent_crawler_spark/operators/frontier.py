@@ -77,6 +77,37 @@ def init_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
+def init_frontier_pa(seeds):
+    """pyarrow twin of ``init_frontier`` for footer-small seed lists: the
+    seeding projection is a handful of constants, so running it as a Spark
+    job prices one scheduler round into every crawl start — pure per-run
+    fixed cost on the N->4N scaling legs.  Semantics are pinned to
+    ``init_frontier`` by tests/test_wave_engine.py's fast/Spark seeding
+    equality check; at unbounded seed scale the wave engine falls back to
+    the Spark path."""
+    import pyarrow as pa
+
+    from ..oracle import urlspec as U
+    n = seeds.num_rows
+
+    def const(v, t):
+        return pa.array([v] * n, type=t)
+
+    return pa.table({
+        "url": seeds.column("seed_url").cast(pa.string()),
+        "host": seeds.column("host").cast(pa.string()),
+        "company": const(None, pa.string()),
+        "seed_id": seeds.column("seed_id").cast(pa.int64()),
+        "keyword": seeds.column("keyword").cast(pa.string()),
+        "depth": const(0, pa.int32()),
+        "page_type_score": const(U.SCORE_LISTING, pa.int32()),
+        "priority": seeds.column("priority").cast(pa.int32()),
+        "status": const(STATUS_PENDING, pa.int32()),
+        "crawler_count": const(0, pa.int32()),
+        "enqueue_wave": const(0, pa.int64()),
+    })
+
+
 def _order_cols():
     return [F.col("priority").desc(), F.col("depth").asc(),
             F.col("page_type_score").desc(), F.col("enqueue_wave").asc(),

@@ -19,6 +19,7 @@ failed -> status error, no links.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,6 +80,44 @@ def tune_arrow_batch(spark, pages: DataFrame, col: str = "html",
     rows = int(max(lo, min(hi, (target_mb * 2**20) // max(int(avg), 1))))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
     return rows
+
+
+def tune_arrow_batch_from_footer(spark, parquet_path: str,
+                                 col: str = "html", target_mb: int = 16,
+                                 lo: int = 64, hi: int = 4096,
+                                 max_files: int = 8) -> int | None:
+    """Footer-metadata variant of ``tune_arrow_batch``: parquet column
+    chunks record the UNCOMPRESSED byte size of each column, so the mean
+    page size — all the tuner needs — is already sitting in the footers.
+    Reading a handful of them is a driver-side pyarrow call (~ms), where
+    the sampling job is a full Spark job (session-warmup priced, ~1-2 s)
+    paid once per crawl — pure per-run fixed cost, which is exactly what
+    caps the N->4N scaling ratio.  Returns None when the path isn't
+    footer-readable parquet (caller falls back to the sampling job).
+    """
+    import pyarrow.parquet as pq
+    try:
+        files = sorted(f for f in os.listdir(parquet_path)
+                       if f.endswith(".parquet"))
+        if not files:
+            return None
+        tot_bytes = tot_rows = 0
+        for f in files[:max_files]:
+            md = pq.ParquetFile(os.path.join(parquet_path, f)).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                tot_bytes += g.column(idx).total_uncompressed_size
+                tot_rows += g.num_rows
+        if tot_rows == 0:
+            return None
+        avg = tot_bytes / tot_rows
+        rows = int(max(lo, min(hi, (target_mb * 2**20) // max(int(avg), 1))))
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(rows))
+        return rows
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _parse_one(url, host, company, html_bytes):

@@ -42,6 +42,27 @@ def init_budgets(robots: DataFrame, per_wave_k: int,
     )
 
 
+def init_budgets_pd(robots_pdf, per_wave_k: int,
+                    capacity: int | None = None):
+    """pandas twin of ``init_budgets`` for footer-small robots tables
+    (driver-side crawl seeding, no Spark job); semantics pinned by the
+    seeding equality test in tests/test_wave_engine.py."""
+    import numpy as np
+    import pandas as pd
+    cap = float(capacity if capacity is not None else per_wave_k)
+    if "crawl_delay" in robots_pdf.columns:
+        delay = pd.to_numeric(robots_pdf["crawl_delay"],
+                              errors="coerce").fillna(1.0).to_numpy(float)
+    else:
+        delay = np.ones(len(robots_pdf))
+    return pd.DataFrame({
+        "host": robots_pdf["host"].astype(object),
+        "tokens": cap,
+        "refill_rate": float(per_wave_k) / np.maximum(delay, 1.0),
+        "capacity": cap,
+    })
+
+
 def wave_grants(budgets: DataFrame) -> DataFrame:
     """(host, grant) for this wave's dequeue."""
     return budgets.select(

@@ -150,11 +150,42 @@ class WaveEngine:
 
     # -- lifecycle -----------------------------------------------------------
 
+    @staticmethod
+    def _footer_rows(path: str) -> int | None:
+        """Total row count from parquet footers (driver-side, no job)."""
+        import pyarrow.parquet as pq
+        try:
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files:
+                return None
+            return sum(pq.ParquetFile(os.path.join(path, f))
+                       .metadata.num_rows for f in files)
+        except OSError:
+            return None
+
     def _init_state(self):
-        frontier = FR.init_frontier(self.seeds())
-        self.frontier_t.overwrite(frontier, meta={"wave": 0})
-        self._budgets_pdf = (
-            PL.init_budgets(self.robots(), self.per_host_k).toPandas())
+        # seeding is a constants-projection over the seed list plus a
+        # robots->budgets projection; when the footers say both inputs are
+        # small, run it driver-side with pyarrow (two Spark jobs per crawl
+        # start otherwise — per-run fixed cost on the scaling legs).  The
+        # two paths are pinned equal by tests/test_wave_engine.py.
+        import pyarrow.parquet as pq
+        seeds_p = os.path.join(self.data_dir, "seeds.parquet")
+        robots_p = os.path.join(self.data_dir, "robots.parquet")
+        n_seeds = self._footer_rows(seeds_p)
+        n_robots = self._footer_rows(robots_p)
+        if (n_seeds is not None and n_seeds <= 2_000_000
+                and n_robots is not None and n_robots <= 2_000_000):
+            frontier_pa = FR.init_frontier_pa(pq.read_table(seeds_p))
+            self.frontier_t.overwrite_rows(frontier_pa, frontier_pa.schema,
+                                           meta={"wave": 0})
+            self._budgets_pdf = PL.init_budgets_pd(
+                pq.read_table(robots_p).to_pandas(), self.per_host_k)
+        else:
+            frontier = FR.init_frontier(self.seeds())
+            self.frontier_t.overwrite(frontier, meta={"wave": 0})
+            self._budgets_pdf = (
+                PL.init_budgets(self.robots(), self.per_host_k).toPandas())
         self.budgets_t.overwrite_rows(self._budgets_pdf, BUDGETS_PA,
                                       meta={"wave": 0})
 
@@ -407,35 +438,56 @@ class WaveEngine:
                       else 50.0)
         fuse_md5 = (self._bloom is not None
                     and n_claimed * est_fanout * 1.5 <= 1_000_000)
+        # "c" column = rows that will still be claim-eligible AFTER this
+        # wave's delta commits: for claims that's the post-update predicate
+        # (status < in-flight, crawler_count+1 under the retry cap); for new
+        # rows it's host-not-null (they enter pending with count 0).  With
+        # these two counters the wave knows the exact post-commit pending
+        # count, so run() can stop WITHOUT a probe wave — the old final
+        # wave paid a full dequeue job on both legs just to observe
+        # pending == 0, pure per-run fixed cost.
+        claim_still_eligible = (
+            (F.col("status") < FR.STATUS_IN_FLIGHT)
+            & (F.col("crawler_count") + 1 < F.lit(self.max_attempts))
+            & F.col("host").isNotNull())
         new_branch = (
-            new_urls.select(F.md5("url").alias("h"))
+            new_urls.select(F.md5("url").alias("h"),
+                            F.col("host").isNotNull().alias("ok"))
             .groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count("*").alias("a"),
+                 F.sum(F.col("ok").cast("long")).alias("c"),
                  F.concat_ws("", F.collect_list("h")).alias("s"))
             .select(F.lit("new").alias("kind"), "pid", "a",
-                    F.lit(0).cast("long").alias("b"), "s")
+                    F.lit(0).cast("long").alias("b"), "c", "s")
             if fuse_md5 else
-            new_urls.agg(F.count("*").alias("a")).select(
+            new_urls.agg(
+                F.count("*").alias("a"),
+                F.sum(F.col("host").isNotNull().cast("long")).alias("c"))
+            .select(
                 F.lit("new").alias("kind"), F.lit(-1).alias("pid"),
-                "a", F.lit(0).cast("long").alias("b"),
+                "a", F.lit(0).cast("long").alias("b"), "c",
                 F.lit("").alias("s")))
         ctrl = (parsed
                 .groupBy(F.spark_partition_id().alias("pid"))
                 .agg(F.count("*").alias("a"),
                      F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("b"),
+                     F.sum(claim_still_eligible.cast("long")).alias("c"),
                      F.concat_ws(
                          "\x01",
                          F.collect_set(F.when(F.col("blocked"),
                                               F.col("host")))).alias("s"))
-                .select(F.lit("parse").alias("kind"), "pid", "a", "b", "s")
+                .select(F.lit("parse").alias("kind"), "pid", "a", "b", "c",
+                        "s")
                 .unionByName(candidates.agg(F.count("*").alias("a")).select(
                     F.lit("cand").alias("kind"), F.lit(-1).alias("pid"),
                     "a", F.lit(0).cast("long").alias("b"),
-                    F.lit("").alias("s")))
+                    F.lit(0).cast("long").alias("c"), F.lit("").alias("s")))
                 .unionByName(new_branch)
                 .collect())
         n_candidates = next(r.a for r in ctrl if r.kind == "cand")
         n_new = sum(r.a for r in ctrl if r.kind == "new")
+        n_still_eligible = sum(r.c or 0 for r in ctrl if r.kind == "parse")
+        n_new_eligible = sum(r.c or 0 for r in ctrl if r.kind == "new")
         # feed the observed fan-out back into the next wave's fuse gate
         if n_claimed > 0:
             self._new_per_claim = n_new / n_claimed
@@ -529,7 +581,12 @@ class WaveEngine:
                     expected=self.expected_total_urls, fpp=self.bloom_fpp))
 
         t0 = _t("bloom_merge", t0)
-        stats.update({"candidates": n_candidates, "new": n_new})
+        stats.update({"candidates": n_candidates, "new": n_new,
+                      # exact post-commit pending count: unclaimed eligible
+                      # rows + claims that stayed retryable + eligible new
+                      # rows (see the "c" counter above)
+                      "pending_after": (pending - n_claimed
+                                        + n_still_eligible + n_new_eligible)})
         frontier.unpersist()
         claimed.unpersist()
         parsed_hits.unpersist()
@@ -567,8 +624,13 @@ class WaveEngine:
                     f"(e.g. {dup[0].url!r} x{dup[0].n}); dedup at ingest "
                     "(keep latest warc_ts) before crawling")
         # bytes-bounded Arrow batches for the parse stage (row cap derived
-        # from sampled page size — see PS.tune_arrow_batch)
-        rows_per_batch = PS.tune_arrow_batch(self.spark, pages)
+        # from the parquet footers' per-column byte stats — driver-side,
+        # no Spark job; the sampling job remains the fallback for
+        # non-parquet sources)
+        rows_per_batch = PS.tune_arrow_batch_from_footer(
+            self.spark, os.path.join(self.data_dir, "pages.parquet"))
+        if rows_per_batch is None:
+            rows_per_batch = PS.tune_arrow_batch(self.spark, pages)
         self._avg_page_bytes = max(1024, (16 * 2**20) // rows_per_batch)
         if self.cache_pages:
             pages = pages.persist()
@@ -578,6 +640,12 @@ class WaveEngine:
             if stats["pending_before"] == 0:
                 break  # probe wave: no eligible rows, nothing committed
             all_stats.append(stats)
+            if stats.get("pending_after") == 0:
+                # the wave's own fused counters prove the frontier is
+                # drained — stop here instead of paying a probe wave whose
+                # only output is pending == 0 (per-run fixed cost on every
+                # leg of the scaling bench)
+                break
             if stats["claimed"] == 0 and stats["pending_before"] > 0:
                 # tokens exhausted; refill and keep going
                 self._budgets_pdf = PL.spend_and_refill_pd(

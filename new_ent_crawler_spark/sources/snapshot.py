@@ -197,6 +197,26 @@ class DeltaTable(SnapshotTable):
         meta["n_base"] = 1
         return self._new_snapshot([new_dir], meta)
 
+    def overwrite_rows(self, rows, schema, meta: dict | None = None) -> dict:
+        """Driver-side base write (pyarrow, no Spark job) for bounded-size
+        initial states — e.g. seeding a crawl frontier from a footer-small
+        seed list.  Tags rows with the snapshot's wave as the commit
+        version, mirroring ``overwrite``."""
+        import pyarrow as pa
+        meta = dict(meta or {})
+        if not isinstance(rows, pa.Table):
+            rows = pa.Table.from_pandas(rows, schema=schema,
+                                        preserve_index=False)
+        else:
+            rows = rows.cast(schema)
+        version = int(meta.get("wave", 0))
+        rows = rows.append_column(
+            self.VERSION_COL,
+            pa.array([version] * rows.num_rows, type=pa.int64()))
+        new_dir = self._write_rows(rows, rows.schema)
+        meta["n_base"] = 1
+        return self._new_snapshot([new_dir], meta)
+
     def append_delta(self, df: DataFrame, version: int,
                      meta: dict | None = None) -> dict:
         cur = self.current_snapshot()

@@ -89,6 +89,43 @@ def test_lineage_counts(crawl):
     assert dedup_hits == sim.dedup_hits
 
 
+def test_fast_seeding_equals_spark_seeding(crawl, spark, tiny_web):
+    """The driver-side pyarrow seeding fast path (no Spark jobs) must
+    produce exactly the frontier + budgets the Spark projections produce —
+    value-for-value, dtype-for-dtype."""
+    web_dir, _ = tiny_web
+    from new_ent_crawler_spark.operators import frontier as FR
+    from new_ent_crawler_spark.operators import politeness as PL
+
+    seeds_pa = pq.read_table(web_dir + "/seeds.parquet")
+    fast = FR.init_frontier_pa(seeds_pa)
+    via_spark = FR.init_frontier(
+        spark.read.parquet(web_dir + "/seeds.parquet"))
+    assert [f.name for f in via_spark.schema.fields] == fast.column_names
+    assert (sorted(map(tuple, fast.to_pandas().itertuples(index=False)))
+            == sorted(map(tuple, via_spark.toPandas()
+                          .itertuples(index=False))))
+
+    robots_pa = pq.read_table(web_dir + "/robots.parquet")
+    fast_b = PL.init_budgets_pd(robots_pa.to_pandas(), per_wave_k=8)
+    spark_b = PL.init_budgets(
+        spark.read.parquet(web_dir + "/robots.parquet"), per_wave_k=8
+    ).toPandas()
+    assert (sorted(map(tuple, fast_b.itertuples(index=False)))
+            == sorted(map(tuple, spark_b.itertuples(index=False))))
+
+
+def test_pending_after_exact(crawl):
+    """The fused still-eligible counters must predict the next wave's
+    pending count exactly — they are what lets run() stop without a probe
+    wave (per-run fixed cost on every scaling leg)."""
+    _, _, stats = crawl
+    for prev, nxt in zip(stats, stats[1:]):
+        if "pending_after" in prev:  # absent on zero-claim refill waves
+            assert prev["pending_after"] == nxt["pending_before"]
+    assert stats[-1].get("pending_after") == 0
+
+
 def test_resume_from_checkpoint(spark, tiny_web, tmp_path_factory):
     """Kill after wave 2, resume, end state byte-identical (north_rule)."""
     web_dir, _ = tiny_web
