@@ -95,29 +95,14 @@ def tune_arrow_batch_from_footer(spark, parquet_path: str,
     caps the N->4N scaling ratio.  Returns None when the path isn't
     footer-readable parquet (caller falls back to the sampling job).
     """
-    import pyarrow.parquet as pq
-    try:
-        files = sorted(f for f in os.listdir(parquet_path)
-                       if f.endswith(".parquet"))
-        if not files:
-            return None
-        tot_bytes = tot_rows = 0
-        for f in files[:max_files]:
-            md = pq.ParquetFile(os.path.join(parquet_path, f)).metadata
-            idx = md.schema.names.index(col)
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                tot_bytes += g.column(idx).total_uncompressed_size
-                tot_rows += g.num_rows
-        if tot_rows == 0:
-            return None
-        avg = tot_bytes / tot_rows
-        rows = int(max(lo, min(hi, (target_mb * 2**20) // max(int(avg), 1))))
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       str(rows))
-        return rows
-    except (OSError, ValueError, KeyError):
+    from ..parquet_meta import mean_column_bytes
+    avg = mean_column_bytes(parquet_path, col, max_files=max_files)
+    if avg is None:
         return None
+    rows = int(max(lo, min(hi, (target_mb * 2**20) // max(int(avg), 1))))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows))
+    return rows
 
 
 def _parse_one(url, host, company, html_bytes):

@@ -150,19 +150,6 @@ class WaveEngine:
 
     # -- lifecycle -----------------------------------------------------------
 
-    @staticmethod
-    def _footer_rows(path: str) -> int | None:
-        """Total row count from parquet footers (driver-side, no job)."""
-        import pyarrow.parquet as pq
-        try:
-            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-            if not files:
-                return None
-            return sum(pq.ParquetFile(os.path.join(path, f))
-                       .metadata.num_rows for f in files)
-        except OSError:
-            return None
-
     def _init_state(self):
         # seeding is a constants-projection over the seed list plus a
         # robots->budgets projection; when the footers say both inputs are
@@ -170,10 +157,12 @@ class WaveEngine:
         # start otherwise — per-run fixed cost on the scaling legs).  The
         # two paths are pinned equal by tests/test_wave_engine.py.
         import pyarrow.parquet as pq
+
+        from ..parquet_meta import footer_rows
         seeds_p = os.path.join(self.data_dir, "seeds.parquet")
         robots_p = os.path.join(self.data_dir, "robots.parquet")
-        n_seeds = self._footer_rows(seeds_p)
-        n_robots = self._footer_rows(robots_p)
+        n_seeds = footer_rows(seeds_p)
+        n_robots = footer_rows(robots_p)
         if (n_seeds is not None and n_seeds <= 2_000_000
                 and n_robots is not None and n_robots <= 2_000_000):
             frontier_pa = FR.init_frontier_pa(pq.read_table(seeds_p))

@@ -74,6 +74,28 @@ def test_budget_stop_keeps_checkpointed_state(bench):
     assert seen and seen[0] == (1, 1)
 
 
+def test_crashed_leg_counts_as_contaminated_and_eff_filters_none(bench):
+    """A leg subprocess crash/timeout returns None: _interleaved_min must
+    keep sampling until each leg has a real quiet measurement, and _eff
+    must compute from the surviving legs only."""
+    calls = []
+
+    def run_pair(r):
+        calls.append(r)
+        # first round: 4N leg crashed; second round: both fine
+        return (_leg(8.0, 2), None) if r == 0 else (_leg(8.0, 2),
+                                                    _leg(2.4, 8))
+
+    runs = bench._interleaved_min(run_pair, max_repeats=2)
+    assert len(calls) == 2
+    low, high, eff = bench._eff(runs)
+    assert low["seconds"] == 8.0 and high["seconds"] == 2.4
+    assert eff == round(8.0 / 2.4 / 4, 3)
+
+    none_runs = {"n": [None], "4n": [_leg(2.0, 8)]}
+    assert bench._eff(none_runs) == (None, None, None)
+
+
 def test_emitted_line_parses_and_fits_tail_capture(bench):
     state = {"metric": "suite_seconds", "value": 52.1, "unit": "sec",
              "queries": {f"query_name_{i:02d}": 1.234 for i in range(21)},
