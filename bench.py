@@ -269,8 +269,20 @@ def _contaminated(leg: dict) -> bool:
             or leg.get("iowait_pct", 0) >= 10)
 
 
+def _round_estimate(rn, r4, overhead_s: float) -> float | None:
+    """Expected cost of the NEXT round from the last round's legs: the sum
+    of their timed samples plus per-round overhead (subprocess + JVM spin,
+    warmups).  The raw wall of round 1 overstates round 2 — it carries
+    one-time costs (parse-loop calibration, first-child import warmup) —
+    and an overshoot makes the budget check refuse a round that fits."""
+    if rn is None or r4 is None:
+        return None  # a leg crashed: no basis for a tighter estimate
+    return sum(sum(d.get("samples", [d["seconds"]])) for d in (rn, r4)) \
+        + overhead_s
+
+
 def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
-                     on_round=None) -> dict:
+                     on_round=None, overhead_s: float = 90.0) -> dict:
     """Interleaved min-of-N over two legs with two gate-independent
     stopping rules:
 
@@ -307,10 +319,12 @@ def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
             for leg in ("n", "4n"))
         if r >= max_repeats and both_clean_once:
             break
-        if deadline is not None and _elapsed() + round_cost > deadline:
+        next_cost = _round_estimate(rn, r4, overhead_s) or round_cost
+        next_cost = min(next_cost, round_cost)  # never above observed wall
+        if deadline is not None and _elapsed() + next_cost > deadline:
             runs["budget_stopped"] = True
             _log(f"budget stop after {r} rounds "
-                 f"(next round ~{round_cost:.0f}s, "
+                 f"(next round ~{next_cost:.0f}s, "
                  f"{deadline - _elapsed():.0f}s left in phase)")
             break
         if not both_clean_once:

@@ -74,6 +74,29 @@ def test_budget_stop_keeps_checkpointed_state(bench):
     assert seen and seen[0] == (1, 1)
 
 
+def test_next_round_estimate_tighter_than_wall(bench):
+    """Round 1 wall time carries one-time costs (calibration, first-child
+    import); the budget check must use the legs' own timed samples +
+    overhead so a second round that genuinely fits is not refused."""
+    calls = []
+
+    def run_pair(r):
+        calls.append(r)
+        time.sleep(0.5)  # wall per round >> timed samples
+        return (dict(_leg(0.01, 2), samples=[0.01]),
+                dict(_leg(0.01, 8), samples=[0.01]))
+
+    runs = bench._interleaved_min(
+        run_pair, max_repeats=2,
+        # after round 1 (~0.5 s wall) only ~0.3 s remain: the wall-based
+        # estimate (0.5) would refuse round 2, the sample-sum one (0.02)
+        # admits it
+        deadline=bench._elapsed() + 0.8,
+        overhead_s=0.0)
+    assert len(calls) == 2  # wall-based estimate would have stopped at 1
+    assert "budget_stopped" not in runs
+
+
 def test_crashed_leg_counts_as_contaminated_and_eff_filters_none(bench):
     """A leg subprocess crash/timeout returns None: _interleaved_min must
     keep sampling until each leg has a real quiet measurement, and _eff
