@@ -67,7 +67,7 @@ class WaveEngine:
                  salt_buckets: int = 8, max_attempts: int = 3,
                  expected_total_urls: int = 1_000_000,
                  bloom_fpp: float = 0.01, use_bloom: bool = True,
-                 cache_pages: bool = True, compact_every: int = 4,
+                 cache_pages: bool = True, compact_every: int = 8,
                  seen_broadcast_below: int = 4_000_000,
                  seen_filter: str = "bloom",
                  verify_unique_urls: bool = False):
@@ -87,7 +87,13 @@ class WaveEngine:
         self.cache_pages = cache_pages
         # frontier commits are merge-on-read deltas (O(wave) per wave, not
         # O(frontier)); fold them into a fresh base every `compact_every`
-        # waves so the read-side merge stays a broadcast-sized anti-join
+        # waves so the read-side merge stays a broadcast-sized anti-join.
+        # Cadence 8 balances write amplification (each compaction rewrites
+        # the whole frontier — event-log attributed ~4-7 s/leg on the
+        # bench crawl) against read amplification, which stays cheap
+        # between compactions because a wave's delta is <= 8 status-
+        # homogeneous files whose min/max footer stats the eligibility
+        # scan prunes on (see append_delta below).
         self.compact_every = compact_every
         # seen-side broadcast gate for the exact anti-join (see
         # DD.filter_new_urls); probes compare broadcast vs shuffle here
