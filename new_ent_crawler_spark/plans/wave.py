@@ -117,6 +117,9 @@ class WaveEngine:
         # sampled mean page size (set by run()'s batch tuning; sizes the
         # pruned-scan coalesce)
         self._avg_page_bytes = 24 * 1024
+        # pages-scan split count, planned once on the first wave (a session
+        # constant: splits are sized before the pruning filter)
+        self._scan_parts: int | None = None
         # observed new-URLs-per-claim ratio from the previous wave; gates the
         # fused md5 collect on an ESTIMATE of collected digest volume (the
         # digests are O(n_new) = claims x out-link fan-out, so gating on
@@ -240,14 +243,16 @@ class WaveEngine:
         # by construction (the dequeue must scan it)
         frontier = self.frontier_t.read(spark).persist()
         budgets_pdf = self._budgets()
+        t0 = _t("rs_plan", t0)   # manifest read + merge-on-read DAG build
         self._ensure_bloom(frontier)
-        t0 = _t("read_state", t0)
+        t0 = _t("read_state", t0)  # first-wave seen-filter build job
 
         grants = spark.createDataFrame(PL.grants_pd(budgets_pdf),
                                        "host string, grant int")
         claimed = FR.dequeue(frontier, grants,
                              self.salt_buckets, self.max_attempts)
         claimed = claimed.persist()
+        t0 = _t("dq_plan", t0)   # driver-side dequeue DAG build
         # one job: materialize the claim cache AND produce the per-host
         # claim counts (feeds the driver-side budget spend) AND count the
         # still-eligible frontier — per-wave fixed job count bounds scaling
@@ -269,7 +274,7 @@ class WaveEngine:
                       if r.host != "\0pending" and r.lo is not None]
         pending = next(r.n for r in head_rows if r.host == "\0pending")
         n_claimed = sum(used.values())
-        t0 = _t("dequeue", t0)
+        t0 = _t("dequeue", t0)   # the fused head job (frontier materialize)
         stats = {"wave": wave, "claimed": n_claimed,
                  "pending_before": pending, "timings": timings}
         if n_claimed == 0:
@@ -295,9 +300,15 @@ class WaveEngine:
         page_src = pages.select("url", "html")
         bound_pred = None
         if 0 < len(url_bounds) <= 256:
-            for lo, hi in url_bounds:
-                rng = F.col("url").between(lo, hi)
-                bound_pred = rng if bound_pred is None else bound_pred | rng
+            # ONE parsed SQL expression instead of a Column-algebra fold:
+            # per-host Column ops cost 2 py4j round trips per range per
+            # wave (~0.5 s of driver-serial chatter at 256 hosts) — pure
+            # fixed cost on every leg size
+            def _q(s: str) -> str:
+                return s.replace("\\", "\\\\").replace("'", "\\'")
+            bound_pred = F.expr(" OR ".join(
+                f"url BETWEEN '{_q(lo)}' AND '{_q(hi)}'"
+                for lo, hi in url_bounds))
             page_src = page_src.filter(bound_pred)
         hits = page_src.join(F.broadcast(claimed), "url", "inner")
 
@@ -307,7 +318,14 @@ class WaveEngine:
         # cores — shuffling ~wave-size of html per wave costs more than the
         # imbalance it fixes when the splits already cover the cores
         cores = self.spark.sparkContext.defaultParallelism
-        src_parts = hits.rdd.getNumPartitions()
+        # the scan split count is a session constant (file splits are sized
+        # before the per-wave pruning filter runs), but .rdd forces a full
+        # analysis->physical-planning pass that the later action re-does and
+        # discards — ~1 s of driver-serial DAG build PER WAVE, pure fixed
+        # cost that no parallelism removes.  Plan it once, reuse the count.
+        if self._scan_parts is None:
+            self._scan_parts = hits.rdd.getNumPartitions()
+        src_parts = self._scan_parts
         if src_parts < cores:
             n_par = int(max(cores, min(512, n_claimed // 400), 8))
             hits = hits.repartition(n_par, "url")
@@ -340,9 +358,12 @@ class WaveEngine:
         # per wave even though the common wave has zero misses — pure fixed
         # cost that no parallelism removes, and fixed cost is what caps the
         # N->4N scaling ratio.
+        t0 = _t("px_plan", t0)  # driver-side DAG build up to the write job
         snap = self.extracted_t.append(_ext_cols(parsed_hits),
                                        meta={"wave": wave})
+        t0 = _t("px_write", t0)  # the wave's one parse materialization job
         n_hits = self.extracted_t.dir_rows(snap["dirs"][-1])
+        t0 = _t("px_footer", t0)
 
         # miss detection relies on the pages table having UNIQUE urls (see
         # pages() docstring; verify_unique_urls opts into a load-time check).
@@ -414,6 +435,7 @@ class WaveEngine:
                                       seen_count=self.frontier_t.approx_rows(),
                                       broadcast_below=self.seen_broadcast_below
                                       ).persist()
+        t0 = _t("cd_plan", t0)   # driver-side candidates/new-urls DAG build
         # ONE control-collect job materializes both caches and yields the
         # candidate/new counters, the per-partition lineage counters, and
         # the blocked-host set — per-wave fixed job count is what bounds
@@ -544,8 +566,10 @@ class WaveEngine:
                  .coalesce(4)
                  .unionByName(new_urls.select(*FR.FRONTIER_COLS)
                               .coalesce(4)))
+        t0 = _t("fm_plan", t0)   # driver-side delta DAG build
         self.frontier_t.append_delta(delta, version=wave,
                                      meta={"wave": wave})
+        t0 = _t("fm_write", t0)  # the delta write job
         if self.frontier_t.n_deltas() >= self.compact_every:
             self.frontier_t.compact(self.spark, version=wave,
                                     n_files=max(16, cores))
