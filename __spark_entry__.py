@@ -557,6 +557,22 @@ def _q_png_decode_features(spark, sf):
         _t(spark, sf, "documents").select("doc_id"))
 
 
+def _q_wav_decode_features(spark, sf):
+    """REAL audio-codec path: per doc, synthesize 8 stereo frames of
+    deterministic int16 PCM worker-side (two md5 digests taken as
+    little-endian samples), round-trip them through the pure
+    stdlib+numpy encode_wav/decode_audio pair (operators/multimodal.py —
+    a chunk-walking RIFF parser, not a byte-offset hardcode), and emit
+    per-channel sample sums + the md5 of the decoded PCM hex.  The
+    oracle reproduces the identical sums from hex-substring arithmetic
+    (lo + 256*hi, sign-corrected) and the digest from the concatenated
+    block hex, so byte order, channel interleave, and header parsing are
+    all hash-checked."""
+    from new_ent_crawler_spark.operators import multimodal as MM
+    return MM.wav_roundtrip_features(
+        _t(spark, sf, "documents").select("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # temporal joins, window frames, extended TPC-H, set ops, string/array suite
 # --------------------------------------------------------------------------
@@ -1112,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _q_broadcast_dim_join,
         "fanout_rejoin": _q_fanout_rejoin,
         "dedup_exact": _q_dedup_exact,
+        "wav_decode_features": _q_wav_decode_features,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "sim_brute_topk": _q_sim_brute_topk,
         "explode_tokens": _q_explode_tokens,
@@ -2132,6 +2149,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(b) AS BIGINT) AS sum_b,
                    md5(string_agg(rgb_hex, '' ORDER BY y, x)) AS px_md5
             FROM px GROUP BY doc_id
+        """,
+        # mirror of the engine's synth->encode_wav->decode_audio round
+        # trip: block b's 16 md5 bytes are 8 little-endian int16 samples
+        # (4 stereo frames), so sample k's bytes are hex substr(4k+1,2)
+        # (lo) and substr(4k+3,2) (hi); the decoded PCM digest equals the
+        # md5 of the concatenated block hex because the codec must restore
+        # the exact bytes
+        "wav_decode_features": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            blk AS (
+                SELECT doc_id, b,
+                       md5(CAST(doc_id AS VARCHAR) || ':wav:'
+                           || CAST(b AS VARCHAR)) AS hx
+                FROM ids, (SELECT unnest(range(0, 2)) AS b)
+            ), smp AS (
+                SELECT doc_id, k,
+                       CAST('0x' || substr(hx, 4*k+3, 2) AS BIGINT) * 256
+                         + CAST('0x' || substr(hx, 4*k+1, 2) AS BIGINT)
+                         AS uv
+                FROM blk, (SELECT unnest(range(0, 8)) AS k)
+            ), sv AS (
+                SELECT doc_id, k,
+                       uv - CASE WHEN uv >= 32768 THEN 65536 ELSE 0 END AS v
+                FROM smp
+            ), sums AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN k % 2 = 0 THEN v END) AS BIGINT)
+                           AS sum_l,
+                       CAST(sum(CASE WHEN k % 2 = 1 THEN v END) AS BIGINT)
+                           AS sum_r
+                FROM sv GROUP BY doc_id
+            ), dig AS (
+                SELECT doc_id, md5(string_agg(hx, '' ORDER BY b)) AS pcm_md5
+                FROM blk GROUP BY doc_id
+            )
+            SELECT doc_id, 8 AS n_frames, 2 AS channels,
+                   16000 AS sample_rate, sum_l, sum_r, pcm_md5
+            FROM sums JOIN dig USING (doc_id)
         """,
         # the HLL estimate is engine-specific, so the oracle checks the
         # exact counts and asserts the engine's |approx-exact| <= 5% bound

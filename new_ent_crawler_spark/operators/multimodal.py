@@ -4,9 +4,12 @@ The ``pages.html`` column is already a binary payload; the same pattern
 extends to image/audio/video columns in a training-data lake: store bytes as
 ``binary`` with a typed metadata struct, run decode/feature-extraction as
 Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing here (schemas,
-batching, partition sizing) is real and tested; the codec calls are stubbed
-deterministically because no image/audio libraries ship in this container —
-each stub raises ``NotImplementedError`` unless ``deterministic_fake=True``,
+batching, partition sizing) is real and tested.  REAL codecs (pure
+stdlib+numpy, golden-fixture tested, no imaging/audio libraries): BMP,
+binary PPM, non-interlaced 8-bit PNG (zlib inflate + all five filters), and
+PCM WAV (chunk-walking RIFF parse, 8/16-bit, any channel count).  Codecs
+that genuinely need libraries this container doesn't ship (JPEG, MP3/AAC,
+video) raise ``NotImplementedError`` unless ``deterministic_fake=True``,
 which derives stable pseudo-features from the md5 of the payload so the
 distributed pipeline is exercisable end to end.
 """
@@ -333,8 +336,69 @@ def extract_features(media: DataFrame, dim: int = 8,
         run, schema=FEATURE_SCHEMA)
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
-    raise NotImplementedError("audio codecs are not shipped in this sandbox")
+def decode_audio(payload: bytes):
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)``.
+
+    REAL decode path (pure stdlib struct + numpy): uncompressed PCM WAV,
+    8-bit unsigned or 16-bit signed little-endian, any channel count —
+    ``samples`` comes back as an ``(n_frames, channels)`` numpy array
+    (int16 for 16-bit, uint8 for 8-bit).  Chunk-walks the RIFF container
+    (fmt /data plus whatever metadata chunks a writer interleaves, LIST,
+    fact, …), so real-world files parse, not just our own encoder's.
+    Compressed codecs (MP3/AAC/float WAV) raise ``NotImplementedError`` —
+    honestly stubbed, same contract as JPEG in :func:`decode_image`."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, n = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + n]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + n + (n & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAV decodes here (format {audio_format})")
+    if bits == 16:
+        arr = np.frombuffer(data, "<i2")
+    elif bits == 8:
+        arr = np.frombuffer(data, np.uint8)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not implemented")
+    frames = len(arr) // channels
+    return arr[:frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Inverse of :func:`decode_audio` for 16-bit PCM: deterministic WAV
+    bytes (RIFF + fmt + data, no metadata chunks) from an
+    ``(n_frames, channels)`` int16 array.  The golden-fixture round trip
+    through :func:`decode_audio` pins byte order, channel interleave, and
+    header arithmetic."""
+    import struct
+
+    import numpy as np
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -514,6 +578,56 @@ def png_roundtrip_features(ids: DataFrame, width: int = 4,
                 s = decoded.astype(np.int64).sum(axis=(0, 1))
                 rows.append((did, decoded.shape[1], decoded.shape[0],
                              int(s[0]), int(s[1]), int(s[2]),
+                             _hl.md5(decoded.tobytes().hex().encode())
+                             .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def wav_roundtrip_features(ids: DataFrame, blocks: int = 2,
+                           sample_rate: int = 16000) -> DataFrame:
+    """Encode -> decode -> feature-extract through the REAL WAV codec,
+    mirroring :func:`bmp_roundtrip_features` for the audio column type.
+
+    Per id, worker-side: synthesize ``blocks`` md5 digests
+    ``md5(f"{doc_id}:wav:{blk}")`` and take their 16 bytes each as 4
+    stereo frames of little-endian int16 PCM (so ``4*blocks`` frames, 2
+    channels), serialize with :func:`encode_wav`, decode back through
+    :func:`decode_audio`, and emit per-channel sample sums, frame/rate
+    metadata, and the md5 of the decoded raw sample bytes' hex.  The
+    DuckDB oracle reproduces the identical sums from hex-substring
+    arithmetic (lo + 256*hi, sign-corrected) and the digest as the md5 of
+    the concatenated block hex — any defect in header parsing, channel
+    interleave, or byte order breaks the hash."""
+    import hashlib as _hl
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("sum_l", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("pcm_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                raw = b"".join(
+                    _hl.md5(f"{did}:wav:{blk}".encode()).digest()
+                    for blk in range(blocks))
+                frames = np.frombuffer(raw, "<i2").reshape(-1, 2)
+                decoded, rate = decode_audio(
+                    encode_wav(frames, sample_rate))
+                s = decoded.astype(np.int64).sum(axis=0)
+                rows.append((did, decoded.shape[0], decoded.shape[1],
+                             rate, int(s[0]), int(s[1]),
                              _hl.md5(decoded.tobytes().hex().encode())
                              .hexdigest()))
             yield pd.DataFrame(rows, columns=[f.name for f in

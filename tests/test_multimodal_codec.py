@@ -231,3 +231,74 @@ def test_approx_distinct_within_tolerance(spark):
     assert got
     for r in got:
         assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact), r
+
+
+# -- real WAV codec: golden fixture, chunk walking, round trip --------------
+
+def _golden_wav():
+    """Hand-assembled PCM WAV: 2 stereo int16 frames [(1000,-2000),
+    (32767,-32768)] at 8 kHz, with a LIST metadata chunk BETWEEN fmt and
+    data so the test proves chunk-walking, not fixed offsets."""
+    data = struct.pack("<4h", 1000, -2000, 32767, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    lst = b"INFOISFT" + struct.pack("<I", 5) + b"tests" + b"\x00"  # odd len
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"LIST" + struct.pack("<I", len(lst)) + lst
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_golden_fixture_chunk_walk():
+    samples, rate = MM.decode_audio(_golden_wav())
+    assert rate == 8000
+    assert samples.dtype == np.int16 and samples.shape == (2, 2)
+    assert samples.tolist() == [[1000, -2000], [32767, -32768]]
+
+
+def test_encode_decode_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 4):
+        pcm = rng.integers(-32768, 32768, size=(37, ch), dtype=np.int16)
+        out, rate = MM.decode_audio(MM.encode_wav(pcm, 44100))
+        assert rate == 44100
+        np.testing.assert_array_equal(out, pcm)
+    mono = np.arange(-5, 5, dtype=np.int16)  # 1-D input gets a channel axis
+    out, _ = MM.decode_audio(MM.encode_wav(mono))
+    np.testing.assert_array_equal(out[:, 0], mono)
+
+
+def test_decode_wav_8bit_and_rejects():
+    # 8-bit unsigned PCM decodes for real
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 3) + data + b"\x00")
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples, _ = MM.decode_audio(wav)
+    assert samples[:, 0].tolist() == [0, 128, 255]
+    # honest stubs: float PCM (format 3) and 24-bit raise, garbage errors
+    f3 = MM.encode_wav(np.zeros((2, 1), np.int16))
+    f3 = f3.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(f3)
+    with pytest.raises(ValueError):
+        MM.decode_audio(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        MM.decode_audio(b"OggS" + b"\x00" * 32)
+
+
+def test_wav_roundtrip_features_matches_hand_computation(spark):
+    ids = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    rows = {r.doc_id: r for r in
+            MM.wav_roundtrip_features(ids).collect()}
+    for did in (7, 123):
+        raw = b"".join(hashlib.md5(f"{did}:wav:{b}".encode()).digest()
+                       for b in range(2))
+        pcm = np.frombuffer(raw, "<i2").reshape(-1, 2)
+        r = rows[did]
+        assert (r.n_frames, r.channels, r.sample_rate) == (8, 2, 16000)
+        s = pcm.astype(np.int64).sum(axis=0)
+        assert (r.sum_l, r.sum_r) == (s[0], s[1])
+        assert r.pcm_md5 == hashlib.md5(
+            pcm.tobytes().hex().encode()).hexdigest()
