@@ -1073,7 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation: the 31 entries whose most recent official green row is r02
     (registry positions 51-81 in round 3) come first, followed by this
     round's new/restructured entries (png_decode_features,
-    approx_distinct_users with its officially-checkable ±5% bound) and a
+    wav_decode_features, approx_distinct_users with its officially-checkable
+    ±5% bound) and a
     fill of r03-green headline entries — so every oracled entry keeps a
     green row within the last two CORRECTNESS files.  ALL oracled entries
     are additionally re-verified every run by tests/test_queries.py with

@@ -631,8 +631,13 @@ def run_scaling(out: dict) -> None:
     geometry = {"geometry_note":
                 f"{n_small}v{n_big} legs, fresh JVM per leg"
                 + (", cpuset-pinned" if pin else "")
-                + "; see BENCH/BASELINE.md §1.1b/d, §1.4",
-                "per_thread_urls_s_at_1_2_4_8": [1382, 1365, 1168, 1074]}
+                + "; see BENCH/BASELINE.md §1.1b/d, §1.4-1.5",
+                # parse-kernel urls/s per thread along the shared-memory
+                # decay curve: unpinned clean windows at 1/2/4/8 cpus, and
+                # the pinned 1v4 pair from the §1.5 validation run — why
+                # 1v4 is the faithful model of adding nodes
+                "per_thread_urls_s_at_1_2_4_8": [1382, 1365, 1168, 1074],
+                "pinned_per_thread_urls_s_1_and_4": [903, 811]}
 
     detail: dict = {"companies": companies}
     dpath = os.path.join(_HERE, "BENCH", "bench_detail.json")
