@@ -694,10 +694,12 @@ def run_scaling(out: dict) -> None:
     # pass it, so extra samples move the estimate toward truth, not past it.
     done4 = [d for d in runs["4n"] if d]
     if done4:
-        wall4 = min(d["seconds"] for d in done4) + 90.0  # + JVM/warmup
+        # measured 4N-leg overhead (JVM spin + warmup mini-crawl) is ~42 s
+        # at 4 cores; 60 keeps margin without refusing a leg that fits
+        wall4 = min(d["seconds"] for d in done4) + 60.0
         extra = 0
         while (extra < 2 and len(runs["4n"]) < max_repeats + 2
-               and crawl_deadline - _elapsed() > wall4 + 30):
+               and crawl_deadline - _elapsed() > wall4 + 15):
             r4 = _run_leg({"kind": "crawl", "cpus": n_big, "web": web_dir,
                            "work": work_root, "pin": pin,
                            "tag": f"4nx{extra}"},
