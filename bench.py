@@ -289,7 +289,8 @@ def _round_estimate(rn, r4, overhead_s: float) -> float | None:
 
 
 def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
-                     on_round=None, overhead_s: float = 90.0) -> dict:
+                     on_round=None, overhead_s: float = 90.0,
+                     reserve_fn=None) -> dict:
     """Interleaved min-of-N over two legs with two gate-independent
     stopping rules:
 
@@ -328,7 +329,13 @@ def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
             break
         next_cost = _round_estimate(rn, r4, overhead_s) or round_cost
         next_cost = min(next_cost, round_cost)  # never above observed wall
-        if deadline is not None and _elapsed() + next_cost > deadline:
+        # keep room for the caller's post-loop top-up legs: under host
+        # noise a pair round gets MORE expensive exactly when extra
+        # gate-sensitive-leg samples matter most, so a full round must not
+        # be allowed to starve them (the r4 0.705 run: both 4N samples sat
+        # in one ~20-min slow window and the top-up had 166s < one leg)
+        reserve = reserve_fn(runs) if reserve_fn is not None else 0.0
+        if deadline is not None and _elapsed() + next_cost + reserve > deadline:
             runs["budget_stopped"] = True
             _log(f"budget stop after {r} rounds "
                  f"(next round ~{next_cost:.0f}s, "
@@ -535,6 +542,7 @@ def _run_leg(spec: dict, timeout: float) -> dict | None:
     through for live progress; stdout carries the result line).  Returns
     None on crash/timeout — the caller treats that leg as missing and the
     artifact keeps every other measurement."""
+    w0 = time.monotonic()
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg",
@@ -545,7 +553,12 @@ def _run_leg(spec: dict, timeout: float) -> dict | None:
         return None
     for line in (r.stdout or "").splitlines():
         if line.startswith("LEGRESULT "):
-            return json.loads(line[10:])
+            d = json.loads(line[10:])
+            # parent-side wall (JVM spin + warmup + timed work) — the cost
+            # basis for top-up window sizing, which the child's timed
+            # seconds understate
+            d["leg_wall_s"] = round(time.monotonic() - w0, 1)
+            return d
     _log(f"leg {spec['tag']}: failed rc={r.returncode}")
     return None
 
@@ -671,7 +684,9 @@ def run_scaling(out: dict) -> None:
             return
         out["crawl"] = {"n_cores": _leg(low), "4n_cores": _leg(high),
                         "scaling_efficiency": eff,
-                        "rounds": len(runs["n"]), **geometry,
+                        "rounds": len(runs["n"]),
+                        "samples_4n": sum(1 for d in runs["4n"] if d),
+                        **geometry,
                         "detail": "BENCH/bench_detail.json"}
         detail["crawl_all_runs"] = {k: v for k, v in runs.items()}
         _flush_detail()
@@ -685,9 +700,19 @@ def run_scaling(out: dict) -> None:
                       timeout=crawl_deadline - _elapsed() + 120)
         return rn, r4
 
+    def _topup_wall(runs):
+        """Expected wall of one extra 4N leg, from parent-side measured
+        walls (fallback: timed seconds + JVM/warmup overhead)."""
+        done = [d for d in runs.get("4n", []) if d]
+        if not done:
+            return 230.0
+        return min(d.get("leg_wall_s", d["seconds"] + 60.0) for d in done) \
+            + 15.0
+
     runs = _interleaved_min(_crawl_pair, max_repeats,
                             deadline=crawl_deadline,
-                            on_round=_crawl_round_done)
+                            on_round=_crawl_round_done,
+                            reserve_fn=_topup_wall)
     if runs.pop("budget_stopped", False) and "crawl" in out:
         out["crawl"]["budget_stopped"] = True
     # opportunistic top-up of the GATE-SENSITIVE leg: a contended host
@@ -697,20 +722,22 @@ def run_scaling(out: dict) -> None:
     # converges each leg toward its uncontended capability and can never
     # pass it, so extra samples move the estimate toward truth, not past it.
     done4 = [d for d in runs["4n"] if d]
+    crawl_budget_stopped = "crawl" in out and \
+        out["crawl"].get("budget_stopped", False)
     if done4:
-        # measured 4N-leg overhead (JVM spin + warmup mini-crawl) is ~42 s
-        # at 4 cores; 60 keeps margin without refusing a leg that fits
-        wall4 = min(d["seconds"] for d in done4) + 60.0
+        wall4 = _topup_wall(runs)
         extra = 0
-        while (extra < 2 and len(runs["4n"]) < max_repeats + 2
-               and crawl_deadline - _elapsed() > wall4 + 15):
+        while (extra < 4 and len(runs["4n"]) < max_repeats + 4
+               and crawl_deadline - _elapsed() > wall4):
             r4 = _run_leg({"kind": "crawl", "cpus": n_big, "web": web_dir,
                            "work": work_root, "pin": pin,
                            "tag": f"4nx{extra}"},
                           timeout=crawl_deadline - _elapsed() + 120)
             runs["4n"].append(r4)
             extra += 1
-            _crawl_round_done(runs)
+            _crawl_round_done(runs)  # rebuilds out["crawl"]
+            if crawl_budget_stopped:
+                out["crawl"]["budget_stopped"] = True
             if r4 is None:
                 break
     out.setdefault("crawl", {"error": "no crawl leg completed"})
@@ -759,16 +786,53 @@ def run_scaling(out: dict) -> None:
         out["crawl"]["parse_stage"] = {"n_cores": _leg(pn),
                                        "4n_cores": _leg(p4n),
                                        "scaling_efficiency": peff,
-                                       "rounds": len(p_runs["n"])}
+                                       "rounds": len(p_runs["n"]),
+                                       "samples_4n": sum(
+                                           1 for d in p_runs["4n"] if d)}
         detail["parse_all_runs"] = {k: v for k, v in p_runs.items()}
         _flush_detail()
 
+    def _p_topup_wall(p_runs):
+        done = [d for d in p_runs.get("4n", []) if d]
+        if not done:
+            return 200.0
+        # later p4n legs skip loop calibration, so the first leg's wall
+        # overestimates — still the safe (never-overrun) basis
+        return min(d.get("leg_wall_s", d["seconds"] + 60.0) for d in done) \
+            + 15.0
+
+    p_repeats = int(os.environ.get("BENCH_PARSE_REPEATS", "3"))
     p_runs = _interleaved_min(
-        _parse_pair, int(os.environ.get("BENCH_PARSE_REPEATS", "3")),
-        deadline=parse_deadline, on_round=_parse_round_done)
+        _parse_pair, p_repeats,
+        deadline=parse_deadline, on_round=_parse_round_done,
+        reserve_fn=_p_topup_wall)
     if p_runs.pop("budget_stopped", False) \
             and "parse_stage" in out["crawl"]:
         out["crawl"]["parse_stage"]["budget_stopped"] = True
+    # same gate-sensitive-leg top-up as the crawl phase: leftover parse
+    # budget buys extra 4N kernel samples (min-of-N can only move the
+    # estimate toward uncontended capability, never past it)
+    done_p4 = [d for d in p_runs["4n"] if d]
+    parse_budget_stopped = "parse_stage" in out.get("crawl", {}) and \
+        out["crawl"]["parse_stage"].get("budget_stopped", False)
+    if done_p4 and p_state["loops"] is not None:
+        pwall = _p_topup_wall(p_runs)
+        extra = 0
+        while (extra < 3 and len(p_runs["4n"]) < p_repeats + 3
+               and parse_deadline - _elapsed() > pwall):
+            p4 = _run_leg({"kind": "parse", "cpus": n_big, "web": web_dir,
+                           "tag": f"p4nx{extra}", "pin": pin,
+                           "repeats": int(os.environ.get(
+                               "BENCH_P4N_SAMPLES", "2")),
+                           "loops": p_state["loops"], "min_leg": min_leg},
+                          timeout=parse_deadline - _elapsed() + 120)
+            p_runs["4n"].append(p4)
+            extra += 1
+            _parse_round_done(p_runs)  # rebuilds parse_stage
+            if parse_budget_stopped:
+                out["crawl"]["parse_stage"]["budget_stopped"] = True
+            if p4 is None:
+                break
 
     detail["queries"] = out.get("queries")
     detail["note"] = (

@@ -58,6 +58,29 @@ def test_budget_stop_triggers(bench):
     assert runs["n"] and runs["4n"]  # partial results preserved
 
 
+def test_reserve_fn_stops_pair_rounds_earlier(bench):
+    """With a reserve_fn the pair loop must refuse a round that would
+    starve the caller's post-loop top-up legs — without the reserve the
+    same deadline admits the round (the r4 0.705-run failure mode)."""
+    def make_pair(calls):
+        def run_pair(r):
+            time.sleep(0.2)
+            calls.append(r)
+            return _leg(10.0 / (r + 1), 1), _leg(3.0 / (r + 1), 4)
+        return run_pair
+
+    with_res, without = [], []
+    deadline = bench._elapsed() + 0.62
+    runs = bench._interleaved_min(make_pair(with_res), max_repeats=50,
+                                  deadline=deadline,
+                                  reserve_fn=lambda runs: 0.3)
+    assert runs.get("budget_stopped") is True
+    deadline = bench._elapsed() + 0.62
+    bench._interleaved_min(make_pair(without), max_repeats=50,
+                           deadline=deadline)
+    assert len(with_res) < len(without)  # the reserve held rounds back
+
+
 def test_budget_stop_keeps_checkpointed_state(bench):
     """on_round must have populated best-so-far state BEFORE the stop, so a
     later kill still has numbers to flush."""
