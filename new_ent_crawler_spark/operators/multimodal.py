@@ -6,10 +6,12 @@ extends to image/audio/video columns in a training-data lake: store bytes as
 Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing here (schemas,
 batching, partition sizing) is real and tested.  REAL codecs (pure
 stdlib+numpy, golden-fixture tested, no imaging/audio libraries): BMP,
-binary PPM, non-interlaced 8-bit PNG (zlib inflate + all five filters), and
-PCM WAV (chunk-walking RIFF parse, 8/16-bit, any channel count).  Codecs
-that genuinely need libraries this container doesn't ship (JPEG, MP3/AAC,
-video) raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+binary PPM, non-interlaced 8-bit PNG (zlib inflate + all five filters),
+baseline grayscale JPEG (Annex K Huffman tables, zigzag, dequant, IDCT,
+byte stuffing, RSTn), and PCM WAV (chunk-walking RIFF parse, 8/16-bit, any
+channel count).  Codecs that genuinely need libraries this container
+doesn't ship (MP3/AAC, color/progressive JPEG, video) raise
+``NotImplementedError`` unless ``deterministic_fake=True``,
 which derives stable pseudo-features from the md5 of the payload so the
 distributed pipeline is exercisable end to end.
 """
@@ -292,18 +294,24 @@ def decode_image(payload: bytes):
     """Decode an image payload to an ``HxWx3 uint8`` RGB numpy array.
 
     REAL decode paths (pure stdlib+numpy, no imaging library):
-    uncompressed 24-bpp BMP, binary PPM (P6), and non-interlaced 8-bit
-    PNG (zlib inflate + all five scanline filters).  JPEG/other formats
-    raise ``NotImplementedError`` — those codecs are not shipped in this
-    container and are honestly stubbed rather than faked."""
+    uncompressed 24-bpp BMP, binary PPM (P6), non-interlaced 8-bit PNG
+    (zlib inflate + all five scanline filters), and baseline grayscale
+    JPEG (canonical Huffman + dequant + IDCT; gray replicated to RGB).
+    Other formats raise ``NotImplementedError`` — those codecs are not
+    shipped in this container and are honestly stubbed rather than
+    faked."""
+    import numpy as np
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        gray = decode_jpeg(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     raise NotImplementedError(
-        "JPEG/audio codecs are not shipped in this sandbox")
+        "non-JPEG compressed image codecs are not shipped in this sandbox")
 
 
 def extract_features(media: DataFrame, dim: int = 8,
@@ -399,6 +407,395 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
             + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# -- JPEG: real baseline codec (grayscale, pure numpy) ----------------------
+#
+# Baseline sequential DCT JPEG per ITU-T T.81: 8x8 FDCT/IDCT, zigzag,
+# quantization, canonical Huffman entropy coding with the standard Annex K
+# luminance tables, byte stuffing, and marker-segment framing (SOI, DQT,
+# SOF0, DHT, SOS, DRI/RSTn on decode, EOI).  Grayscale only — one component
+# keeps the codec honest without a YCbCr color transform whose float
+# rounding would break byte-exact oracles.  No imaging library involved.
+
+# Annex K Table K.3 (luminance DC): counts of codes per bit length 1..16,
+# then the symbols (categories 0..11) in canonical order.
+_JPG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+# Annex K Table K.5 (luminance AC).
+_JPG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_JPG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# Zigzag scan: position k in the scan reads natural (row-major) index
+# _JPG_ZIGZAG[k] of the 8x8 block.
+_JPG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K Table K.1 (luminance quantization), natural order, for callers
+# that want realistic lossy compression; the oracle path uses all-ones.
+JPEG_QTABLE_ANNEX_K = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+
+def _jpg_canonical_codes(bits, vals):
+    """Canonical Huffman codes per T.81 Annex C: {symbol: (code, length)}."""
+    out, code = {}, 0
+    it = iter(vals)
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[next(it)] = (code, length)
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jpg_dct_matrix():
+    import numpy as np
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+class _JpgBitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def _jpg_magnitude(v: int) -> tuple[int, int]:
+    """(category, additional-bits) encoding of a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(pixels, qtable=None) -> bytes:
+    """Baseline grayscale JPEG bytes from an ``(H, W) uint8`` array.
+
+    ``H`` and ``W`` must be multiples of 8 (no edge-block replication —
+    callers pad).  ``qtable`` is 64 ints in natural order; the default
+    all-ones table makes flat 8x8 blocks byte-exact through the round trip
+    (DC = 8*(v-128) is an exact integer; IDCT of a DC-only block is flat),
+    which is what the DuckDB oracle for ``jpeg_decode_features`` relies on.
+    The FDCT runs vectorized over all blocks in one einsum; only entropy
+    coding walks Python per block."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2 or px.shape[0] % 8 or px.shape[1] % 8:
+        raise ValueError("encode_jpeg needs a 2-D array with sides % 8 == 0")
+    h, w = px.shape
+    q = np.asarray(qtable if qtable is not None else [1] * 64,
+                   dtype=np.int32).reshape(8, 8)
+    if q.min() < 1 or q.max() > 255:
+        raise ValueError("8-bit quantization table entries must be 1..255")
+
+    m = _jpg_dct_matrix()
+    blocks = (px.astype(np.float64) - 128.0).reshape(h // 8, 8, w // 8, 8)
+    coefs = np.einsum("uy,bycz,vz->bcuv", m, blocks, m)
+    quant = np.round(coefs / q[None, None]).astype(np.int64)
+
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _JpgBitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = quant[by, bx].ravel()[list(_JPG_ZIGZAG)]
+            size, extra = _jpg_magnitude(int(zz[0]) - pred)
+            pred = int(zz[0])
+            code, length = dc_codes[size]
+            bw.put(code, length)
+            if size:
+                bw.put(extra, size)
+            run = 0
+            for v in zz[1:]:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+                    bw.put(code, length)
+                    run -= 16
+                size, extra = _jpg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.put(code, length)
+                bw.put(extra, size)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]  # EOB
+                bw.put(code, length)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls_id: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+
+    zz_q = q.ravel()[list(_JPG_ZIGZAG)]
+    return (b"\xff\xd8"
+            + seg(0xFFDB, b"\x00" + bytes(int(x) for x in zz_q))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+            + dht(0x00, _JPG_DC_BITS, _JPG_DC_VALS)
+            + dht(0x10, _JPG_AC_BITS, _JPG_AC_VALS)
+            + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+            + bw.flush()
+            + b"\xff\xd9")
+
+
+class _JpgBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs FF 00;
+    restart boundaries byte-align via :meth:`restart` (any other marker
+    inside the stream is an error)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.pos = p + 2
+            else:
+                raise ValueError("marker inside entropy stream")
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def restart(self):
+        """Consume an RSTn marker at a restart boundary: discard the
+        encoder's pad bits (we are byte-aligned mid-byte), then the
+        two-byte FF D0..D7."""
+        self.acc, self.nbits = 0, 0
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+        else:
+            raise ValueError("expected restart marker")
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpg_decode_tree(bits, vals):
+    """{(length, code): symbol} lookup for canonical Huffman decode."""
+    return {(length, code): sym
+            for sym, (code, length) in
+            _jpg_canonical_codes(bits, vals).items()}
+
+
+def _jpg_read_symbol(br: _JpgBitReader, tree) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpg_extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline grayscale JPEG to an ``(H, W) uint8`` array.
+
+    Real marker walk (APPn/COM skipped, DQT/DHT accumulated, DRI + RSTn
+    honored, SOF0 8-bit single-component enforced), real canonical Huffman
+    entropy decode, dequantization, and float IDCT.  Progressive (SOF2),
+    multi-component color, and 16-bit tables raise ``NotImplementedError``
+    so unsupported inputs fail loudly instead of decoding garbage."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    trees: dict[int, dict] = {}
+    h = w = 0
+    comp_q = dc_tree_id = ac_tree_id = 0
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 3 >= len(payload):
+            raise ValueError("truncated JPEG marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG has no scan data")
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2:pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec:
+                    raise NotImplementedError("16-bit quantization table")
+                zz = np.frombuffer(body[i + 1:i + 65], np.uint8)
+                nat = np.zeros(64, np.int32)
+                nat[list(_JPG_ZIGZAG)] = zz
+                qtables[tid] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            i = 0
+            while i < len(body):
+                cls_id = body[i]
+                bits = tuple(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17:i + 17 + n])
+                trees[cls_id] = _jpg_decode_tree(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError("only grayscale (1 component)")
+            if body[7] != 0x11:  # per-component: id, HiVi sampling, Tq
+                raise NotImplementedError("subsampled single component")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (SOF%d)"
+                                      % (marker - 0xC0))
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy data follows the segment
+            dc_tree_id, ac_tree_id = body[2] >> 4, body[2] & 0x0F
+            break
+        # APPn / COM / anything else: skipped via seg_len
+
+    if not h or comp_q not in qtables:
+        raise ValueError("JPEG scan without SOF0/DQT")
+    if h % 8 or w % 8:
+        raise NotImplementedError("partial edge blocks not implemented")
+    dc_tree = trees[0x00 | dc_tree_id]
+    ac_tree = trees[0x10 | ac_tree_id]
+    q = qtables[comp_q]
+
+    br = _JpgBitReader(payload, pos)
+    nby, nbx = h // 8, w // 8
+    coefs = np.zeros((nby, nbx, 8, 8), np.float64)
+    pred = 0
+    n_done = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                br.restart()  # byte-align, consume RSTn, reset predictor
+                pred = 0
+            zz = np.zeros(64, np.int64)
+            size = _jpg_read_symbol(br, dc_tree)
+            pred += _jpg_extend(br.bits(size), size) if size else 0
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _jpg_read_symbol(br, ac_tree)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _jpg_extend(br.bits(size), size)
+                k += 1
+            nat = np.zeros(64, np.int64)
+            nat[list(_JPG_ZIGZAG)] = zz
+            coefs[by, bx] = nat.reshape(8, 8) * q
+            n_done += 1
+
+    m = _jpg_dct_matrix()
+    px = np.einsum("xu,bcuv,zv->bxcz", m.T, coefs, m.T)
+    px = px.reshape(h, w) + 128.0
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -628,6 +1025,56 @@ def wav_roundtrip_features(ids: DataFrame, blocks: int = 2,
                 s = decoded.astype(np.int64).sum(axis=0)
                 rows.append((did, decoded.shape[0], decoded.shape[1],
                              rate, int(s[0]), int(s[1]),
+                             _hl.md5(decoded.tobytes().hex().encode())
+                             .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def jpeg_roundtrip_features(ids: DataFrame) -> DataFrame:
+    """Encode -> decode -> feature-extract through the REAL baseline JPEG
+    codec, mirroring :func:`png_roundtrip_features` for the lossy-format
+    case.
+
+    JPEG is lossy in general, so the oracle-checkable surface is built
+    from inputs where baseline JPEG is EXACTLY invertible: flat 8x8
+    blocks under an all-ones quantization table (the block's DCT has a
+    single integer DC coefficient ``8*(v-128)``; quantization rounds an
+    integer; the IDCT of a DC-only block is flat, so decode returns ``v``
+    bit-for-bit).  Per id, worker-side: a 16x16 grayscale image of four
+    flat blocks whose values are the first 4 bytes of
+    ``md5(f"{doc_id}:jpg")``, serialized with :func:`encode_jpeg` (real
+    Huffman entropy coding — DC categories up to 11, EOB, byte framing),
+    decoded back through :func:`decode_jpeg`, emitted as the pixel sum
+    plus the md5 of the decoded bytes' hex.  The DuckDB oracle reproduces
+    both from md5 string arithmetic alone; the general lossy path
+    (non-flat content, Annex K table) is pytest-covered where tolerance
+    assertions are possible."""
+    import hashlib as _hl
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("px_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blk = _hl.md5(f"{did}:jpg".encode()).digest()[:4]
+                px = np.zeros((16, 16), dtype=np.uint8)
+                px[:8, :8], px[:8, 8:] = blk[0], blk[1]
+                px[8:, :8], px[8:, 8:] = blk[2], blk[3]
+                decoded = decode_jpeg(encode_jpeg(px))
+                rows.append((did, decoded.shape[1], decoded.shape[0],
+                             int(decoded.astype(np.int64).sum()),
                              _hl.md5(decoded.tobytes().hex().encode())
                              .hexdigest()))
             yield pd.DataFrame(rows, columns=[f.name for f in

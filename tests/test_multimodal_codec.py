@@ -83,8 +83,10 @@ def test_decode_image_dispatch():
             == GOLDEN_PIXELS).all()
     assert (MM.decode_image(MM.encode_png(GOLDEN_PIXELS))
             == GOLDEN_PIXELS).all()
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0....")  # truncated JPEG
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0....")  # JPEG stays stubbed
+        MM.decode_image(b"GIF89a......")  # GIF stays stubbed
 
 
 # -- PNG: the real COMPRESSED codec (zlib + all five scanline filters) ------
@@ -302,3 +304,120 @@ def test_wav_roundtrip_features_matches_hand_computation(spark):
         assert (r.sum_l, r.sum_r) == (s[0], s[1])
         assert r.pcm_md5 == hashlib.md5(
             pcm.tobytes().hex().encode()).hexdigest()
+
+
+# -- real baseline JPEG codec: hand-assembled golden fixture, round trips ---
+
+def _jpeg_golden_flat130():
+    """Hand-assembled baseline JPEG of an 8x8 flat-130 block, built from
+    the T.81 spec without trusting encode_jpeg: all-ones DQT, SOF0, the
+    two Annex K DHT segments (raw table bytes), SOS, and an entropy
+    stream computed by hand — DC diff = 8*(130-128) = 16 is category 5
+    (canonical code 110) with additional bits 10000, then EOB (canonical
+    code 1010), padded with four 1-bits: 1101 0000 1010 1111 = D0 AF."""
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    return (b"\xff\xd8"
+            + seg(0xFFDB, b"\x00" + b"\x01" * 64)
+            + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+            + seg(0xFFC4, b"\x00" + bytes(MM._JPG_DC_BITS)
+                  + bytes(MM._JPG_DC_VALS))
+            + seg(0xFFC4, b"\x10" + bytes(MM._JPG_AC_BITS)
+                  + bytes(MM._JPG_AC_VALS))
+            + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+            + b"\xd0\xaf"
+            + b"\xff\xd9")
+
+
+def test_decode_jpeg_hand_assembled_golden():
+    out = MM.decode_jpeg(_jpeg_golden_flat130())
+    assert out.shape == (8, 8)
+    assert (out == 130).all()
+
+
+def test_encode_decode_jpeg_flat_blocks_exact():
+    """Flat 8x8 blocks + all-ones qtable round-trip bit-exactly — the
+    invariant the jpeg_decode_features oracle relies on."""
+    for did in (1, 7, 12345):
+        blk = hashlib.md5(f"{did}:jpg".encode()).digest()[:4]
+        px = np.zeros((16, 16), np.uint8)
+        px[:8, :8], px[:8, 8:] = blk[0], blk[1]
+        px[8:, :8], px[8:, 8:] = blk[2], blk[3]
+        assert (MM.decode_jpeg(MM.encode_jpeg(px)) == px).all(), did
+
+
+def test_encode_decode_jpeg_q1_near_lossless_and_stuffed():
+    """Random pixels under the all-ones table: every AC code path (runs,
+    ZRL, categories) plus byte stuffing; q=1 coefficient rounding bounds
+    the per-pixel error at ~1."""
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    payload = MM.encode_jpeg(px)
+    assert b"\xff\x00" in payload[20:-2]  # stuffing actually exercised
+    out = MM.decode_jpeg(payload)
+    diff = np.abs(out.astype(int) - px.astype(int))
+    assert diff.max() <= 2 and diff.mean() < 0.5
+
+
+def test_encode_decode_jpeg_annexk_lossy_path():
+    """The realistic lossy configuration: Annex K luminance table over a
+    smooth gradient stays within a small tolerance (high-frequency
+    coefficients are ~0, so quantization loss is mild)."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = (xx * 8 + yy * 4).astype(np.uint8)
+    out = MM.decode_jpeg(MM.encode_jpeg(px, qtable=MM.JPEG_QTABLE_ANNEX_K))
+    diff = np.abs(out.astype(int) - px.astype(int))
+    assert diff.max() <= 8 and diff.mean() < 2
+
+
+def test_decode_jpeg_restart_markers():
+    """DRI + RSTn: two flat-130 blocks with restart interval 1 — the
+    entropy stream byte-aligns at the boundary, the decoder consumes the
+    RST0 marker and resets the DC predictor (both diffs encode 16)."""
+    g = _jpeg_golden_flat130()
+    # widen SOF0 to 8x16 (two MCUs) and inject DRI=1 before SOS
+    g = bytearray(g)
+    sof_at = g.index(b"\xff\xc0")
+    struct.pack_into(">H", g, sof_at + 7, 16)  # W=16
+    sos_at = g.index(b"\xff\xda")
+    dri = struct.pack(">HHH", 0xFFDD, 4, 1)
+    data = (bytes(g[:sos_at]) + dri + bytes(g[sos_at:sos_at + 10])
+            + b"\xd0\xaf" + b"\xff\xd0" + b"\xd0\xaf" + b"\xff\xd9")
+    out = MM.decode_jpeg(data)
+    assert out.shape == (8, 16)
+    assert (out == 130).all()
+
+
+def test_decode_jpeg_rejects_progressive_truncated_color():
+    g = _jpeg_golden_flat130()
+    with pytest.raises(NotImplementedError):  # SOF2 progressive
+        MM.decode_jpeg(g.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError):  # entropy stream cut mid-block
+        MM.decode_jpeg(g[:-4])
+    with pytest.raises(ValueError):  # not a JPEG at all
+        MM.decode_jpeg(b"GIF89a" + g)
+    with pytest.raises(ValueError):  # 3-component encode (grayscale only)
+        MM.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_decode_image_jpeg_dispatch():
+    rgb = MM.decode_image(_jpeg_golden_flat130())
+    assert rgb.shape == (8, 8, 3)
+    assert (rgb == 130).all()
+
+
+def test_jpeg_roundtrip_features_matches_hand_computation(spark):
+    ids = spark.createDataFrame([(17,), (99,)], "doc_id long")
+    rows = {r.doc_id: r for r in
+            MM.jpeg_roundtrip_features(ids).collect()}
+    for did in (17, 99):
+        blk = hashlib.md5(f"{did}:jpg".encode()).digest()[:4]
+        px = np.zeros((16, 16), np.uint8)
+        px[:8, :8], px[:8, 8:] = blk[0], blk[1]
+        px[8:, :8], px[8:, 8:] = blk[2], blk[3]
+        r = rows[did]
+        assert (r.width, r.height) == (16, 16)
+        assert r.sum_px == int(px.astype(np.int64).sum())
+        assert r.px_md5 == hashlib.md5(
+            px.tobytes().hex().encode()).hexdigest()
