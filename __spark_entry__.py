@@ -588,6 +588,20 @@ def _q_jpeg_decode_features(spark, sf):
         _t(spark, sf, "documents").select("doc_id"))
 
 
+def _q_avi_frame_sample(spark, sf):
+    """REAL video-container path: per doc, synthesize a 6-frame 4x2 RGB
+    video worker-side, round-trip it through the pure stdlib+numpy
+    encode_avi/decode_avi pair (operators/multimodal.py — RIFF chunk
+    walk of hdrl/strl/movi/idx1, uncompressed bottom-up BGR DIB frames),
+    sample one frame per 500 ms of timeline at 4 fps (frame index
+    t*fps//1000 -> frames 0, 2, 4), and emit per-channel sums + the md5
+    of each sampled frame's RGB hex.  The oracle replays the identical
+    sampling arithmetic and rebuilds the values from md5 strings."""
+    from new_ent_crawler_spark.operators import multimodal as MM
+    return MM.avi_frame_sample_features(
+        _t(spark, sf, "documents").select("doc_id"))
+
+
 # --------------------------------------------------------------------------
 # temporal joins, window frames, extended TPC-H, set ops, string/array suite
 # --------------------------------------------------------------------------
@@ -1088,8 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation: the 31 entries whose most recent official green row is r02
     (registry positions 51-81 in round 3) come first, followed by this
     round's new/restructured entries (png_decode_features,
-    wav_decode_features, jpeg_decode_features, approx_distinct_users with
-    its officially-checkable ±5% bound) and a
+    wav_decode_features, jpeg_decode_features, avi_frame_sample,
+    approx_distinct_users with its officially-checkable ±5% bound) and a
     fill of r03-green headline entries — so every oracled entry keeps a
     green row within the last two CORRECTNESS files (entries displaced
     past position 50 this round are all r03-green).  ALL oracled entries
@@ -1147,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "wav_decode_features": _q_wav_decode_features,
         "jpeg_decode_features": _q_jpeg_decode_features,
+        "avi_frame_sample": _q_avi_frame_sample,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "sim_brute_topk": _q_sim_brute_topk,
         "explode_tokens": _q_explode_tokens,
@@ -2233,6 +2248,43 @@ def oracle_sql() -> dict[str, str]:
                        || repeat(repeat(h2, 8) || repeat(h3, 8), 8))
                        AS px_md5
             FROM v
+        """,
+        # uncompressed-DIB AVI round-trips bit-exactly, and the frame
+        # sampler picks index t*fps//1000 at t = 0, 500, 1000 ms (fps 4,
+        # 6 frames) -> frames 0, 2, 4; the oracle replays that arithmetic
+        # and rebuilds each sampled frame's sums/digest from the md5 hex
+        # (frame f row y = md5('{id}:avi:{f}:{y}') first 12 bytes as RGB)
+        "avi_frame_sample": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            fr AS (
+                SELECT doc_id, CAST(2 * k AS INT) AS frame_no,
+                       CAST(500 * k AS INT) AS ts_ms
+                FROM ids, (SELECT unnest(range(0, 3)) AS k)
+            ), rows_ AS (
+                SELECT doc_id, frame_no, ts_ms, y,
+                       md5(CAST(doc_id AS VARCHAR) || ':avi:'
+                           || CAST(frame_no AS VARCHAR) || ':'
+                           || CAST(y AS VARCHAR)) AS hx
+                FROM fr, (SELECT unnest(range(0, 2)) AS y)
+            ), px AS (
+                SELECT doc_id, frame_no, ts_ms, y,
+                       CAST('0x' || substr(hx, 6*x+1, 2) AS BIGINT) AS r,
+                       CAST('0x' || substr(hx, 6*x+3, 2) AS BIGINT) AS g,
+                       CAST('0x' || substr(hx, 6*x+5, 2) AS BIGINT) AS b
+                FROM rows_, (SELECT unnest(range(0, 4)) AS x)
+            ), dig AS (
+                SELECT doc_id, frame_no,
+                       md5(string_agg(substr(hx, 1, 24), '' ORDER BY y))
+                           AS px_md5
+                FROM rows_ GROUP BY doc_id, frame_no
+            )
+            SELECT p.doc_id, p.frame_no, p.ts_ms,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   any_value(d.px_md5) AS px_md5
+            FROM px p JOIN dig d USING (doc_id, frame_no)
+            GROUP BY p.doc_id, p.frame_no, p.ts_ms
         """,
         # the HLL estimate is engine-specific, so the oracle checks the
         # exact counts and asserts the engine's |approx-exact| <= 5% bound

@@ -798,6 +798,130 @@ def decode_jpeg(payload: bytes):
     return np.clip(np.round(px), 0, 255).astype(np.uint8)
 
 
+# -- AVI: real video container codec (uncompressed DIB frames) --------------
+#
+# RIFF 'AVI ' per the Microsoft AVI 1.0 spec: LIST hdrl (avih + LIST strl
+# with strh/strf), LIST movi of '00db' chunks, idx1 index.  Frames are
+# uncompressed bottom-up BGR DIBs (the BMP pixel format), so the whole
+# container — headers, frame rate, frame boundaries, pixel layout — parses
+# with stdlib struct + numpy and round-trips byte-exactly.  Compressed
+# video codecs (H.264 etc.) stay honestly stubbed.
+
+
+def encode_avi(frames, fps: int = 4) -> bytes:
+    """RIFF AVI bytes from an ``(n_frames, H, W, 3) uint8`` RGB array:
+    deterministic uncompressed-DIB video, one '00db' chunk per frame
+    (bottom-up BGR rows, stride padded to 4 bytes), plus an idx1 index.
+    The golden-fixture round trip through :func:`decode_avi` pins header
+    arithmetic, frame boundaries, row order, and channel order."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError("encode_avi needs an (n, H, W, 3) uint8 array")
+    n, h, w = arr.shape[:3]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((n, h, stride), np.uint8)
+    rows[:, :, :w * 3] = arr[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    frame_bytes = [rows[i].tobytes() for i in range(n)]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, stride * h * fps, 0,
+                       0x10, n, 0, 1, stride * h, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, fps, 0, n, stride * h,
+                                            -1, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00db", fb) for fb in frame_bytes]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = [], 4  # offsets relative to the 'movi' fourcc
+    for i, fb in enumerate(frame_bytes):
+        idx.append(b"00db" + struct.pack("<III", 0x10, off, len(fb)))
+        off += 8 + len(fb) + (len(fb) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Decode a RIFF AVI of uncompressed DIB frames to
+    ``((n, H, W, 3) uint8 RGB, fps)``.
+
+    Real chunk walk: LIST hdrl is parsed for avih (dimensions, frame
+    count) and strh (rate/scale -> fps); strf must declare 24-bpp
+    uncompressed (``biCompression == 0``); frames come from '00db'/'00dc'
+    chunks inside LIST movi (unknown chunks, 'rec ' sublists, and idx1
+    are skipped per-spec, word-aligned).  Compressed streams raise
+    ``NotImplementedError`` — honestly stubbed, same contract as the
+    audio/image codecs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+
+    w = h = n_frames = 0
+    rate, scale = 0, 1
+    bitcount, compression = 24, 0
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool):
+        nonlocal w, h, n_frames, rate, scale, bitcount, compression
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            data_at = pos + 8
+            if data_at + size > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                sub = buf[data_at:data_at + 4]
+                walk(buf, data_at + 4, data_at + size,
+                     in_movi or sub == b"movi")
+            elif fourcc == b"avih":
+                (_, _, _, _, n_frames, _, _, _, w, h) = struct.unpack_from(
+                    "<10I", buf, data_at)
+            elif fourcc == b"strh" and buf[data_at:data_at + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, data_at + 20)
+            elif fourcc == b"strf":
+                (_, _, _, _, bitcount, compression) = struct.unpack_from(
+                    "<IiiHHI", buf, data_at)
+            elif in_movi and fourcc[2:4] in (b"db", b"dc"):
+                frames_raw.append(buf[data_at:data_at + size])
+            pos = data_at + size + (size % 2)
+
+    # clamp the declared RIFF extent to the actual buffer so truncated
+    # payloads fail the per-chunk bound check instead of over-reading
+    walk(payload, 12,
+         min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload)),
+         False)
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            "compressed / non-24-bpp AVI streams are not shipped")
+    if not (w and h and frames_raw):
+        raise ValueError("AVI without headers or frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.zeros((len(frames_raw), h, w, 3), np.uint8)
+    for i, fb in enumerate(frames_raw):
+        if len(fb) != stride * h:
+            raise ValueError("frame size does not match header dimensions")
+        rows = np.frombuffer(fb, np.uint8).reshape(h, stride)
+        out[i] = rows[::-1, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    fps = rate / scale if scale else 0.0
+    return out, fps
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("payload", T.BinaryType(), True),
@@ -851,8 +975,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                   deterministic_fake: bool = True) -> DataFrame:
     """Frame sampling: one video row fans out to <= max_frames frame rows
     (an unnest the engine expresses as mapInPandas yielding multiple rows
-    per input).  Frame count derives from meta.duration_ms; the decode of
-    each frame is the stubbed codec."""
+    per input).  With ``deterministic_fake`` the frame count derives from
+    meta.duration_ms and frames are md5 stand-ins; the real path decodes
+    the payload through :func:`decode_avi` (uncompressed-DIB AVI) and
+    samples actual frames by timestamp."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -861,15 +987,25 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                                           pdf["meta"]):
                 if payload is None:
                     continue
-                dur = (meta or {}).get("duration_ms") or 0
-                n = min(max_frames, max(1, int(dur // every_ms)))
                 b = bytes(payload)
-                for i in range(n):
-                    if deterministic_fake:
-                        frame = hashlib.md5(b + f":frame{i}".encode()).digest()
-                    else:
-                        frame = decode_image(b)
-                    rows.append((mid, i, i * every_ms, frame))
+                if deterministic_fake:
+                    dur = (meta or {}).get("duration_ms") or 0
+                    n = min(max_frames, max(1, int(dur // every_ms)))
+                    for i in range(n):
+                        frame = hashlib.md5(
+                            b + f":frame{i}".encode()).digest()
+                        rows.append((mid, i, i * every_ms, frame))
+                else:
+                    # REAL path: decode the AVI container and emit the
+                    # frame nearest below each sample timestamp as raw
+                    # row-major RGB bytes
+                    vid, fps = decode_avi(b)
+                    for i in range(max_frames):
+                        t = i * every_ms
+                        idx = int(t * fps // 1000)
+                        if idx >= len(vid):
+                            break
+                        rows.append((mid, i, t, vid[idx].tobytes()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no",
                                               "ts_ms", "frame"])
 
@@ -1077,6 +1213,67 @@ def jpeg_roundtrip_features(ids: DataFrame) -> DataFrame:
                              int(decoded.astype(np.int64).sum()),
                              _hl.md5(decoded.tobytes().hex().encode())
                              .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def avi_frame_sample_features(ids: DataFrame, n_frames: int = 6,
+                              fps: int = 4,
+                              every_ms: int = 500) -> DataFrame:
+    """Encode -> decode -> frame-sample -> feature-extract through the
+    REAL AVI container codec: the video analogue of
+    :func:`png_roundtrip_features`.
+
+    Per id, worker-side: synthesize ``n_frames`` deterministic 4x2 RGB
+    frames (frame ``f`` row ``y`` = first 12 bytes of
+    ``md5(f"{doc_id}:avi:{f}:{y}")`` as straight RGB triples), serialize
+    with :func:`encode_avi` at ``fps``, decode back through
+    :func:`decode_avi` (real RIFF chunk walk: hdrl/strl headers, movi
+    frame chunks, idx1 skipped), then sample one frame per ``every_ms``
+    of timeline — frame index ``t*fps//1000``, the same arithmetic the
+    DuckDB oracle replays — and emit per-channel sums plus the md5 of
+    each sampled frame's RGB hex.  A defect anywhere in header parsing,
+    frame chunk boundaries, bottom-up row order, BGR channel order, or
+    the sampling arithmetic breaks the hash."""
+    import hashlib as _hl
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("px_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = np.zeros((n_frames, 2, 4, 3), np.uint8)
+                for f in range(n_frames):
+                    for y in range(2):
+                        raw = _hl.md5(
+                            f"{did}:avi:{f}:{y}".encode()).digest()[:12]
+                        frames[f, y] = np.frombuffer(
+                            raw, np.uint8).reshape(4, 3)
+                vid, got_fps = decode_avi(encode_avi(frames, fps=fps))
+                t = 0
+                while True:
+                    idx = int(t * got_fps // 1000)
+                    if idx >= len(vid):
+                        break
+                    s = vid[idx].astype(np.int64).sum(axis=(0, 1))
+                    rows.append((did, idx, t, int(s[0]), int(s[1]),
+                                 int(s[2]),
+                                 _hl.md5(vid[idx].tobytes().hex().encode())
+                                 .hexdigest()))
+                    t += every_ms
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               out_schema.fields])
 

@@ -421,3 +421,98 @@ def test_jpeg_roundtrip_features_matches_hand_computation(spark):
         assert r.sum_px == int(px.astype(np.int64).sum())
         assert r.px_md5 == hashlib.md5(
             px.tobytes().hex().encode()).hexdigest()
+
+
+# -- real AVI container codec: golden fixture, chunk walk, frame sampling ---
+
+def _golden_avi():
+    """Hand-assembled single-frame 2x2 AVI of GOLDEN_PIXELS, built
+    byte-by-byte from the RIFF spec without trusting encode_avi: LIST
+    hdrl (avih + LIST strl with strh 1 fps + strf 24-bpp), LIST movi
+    with one '00db' DIB frame (bottom-up BGR, stride 8), idx1."""
+    def ck(fourcc, data):
+        return fourcc + struct.pack("<I", len(data)) + data
+
+    # bottom-up BGR with 2-byte row pad: file row 0 = image row 1
+    frame = (bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+             + bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00")
+    avih = struct.pack("<10I", 1_000_000, 16, 0, 0x10, 1, 0, 1, 16,
+                       2, 2) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0,
+                                            1, 1, 0, 1, 16, -1, 0)
+            + struct.pack("<4H", 0, 0, 2, 2))
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16,
+                       2835, 2835, 0, 0)
+    hdrl = ck(b"LIST", b"hdrl" + ck(b"avih", avih)
+              + ck(b"LIST", b"strl" + ck(b"strh", strh)
+                   + ck(b"strf", strf)))
+    movi = ck(b"LIST", b"movi" + ck(b"00db", frame))
+    idx1 = ck(b"idx1", b"00db" + struct.pack("<III", 0x10, 4, len(frame)))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_avi_golden_fixture():
+    vid, fps = MM.decode_avi(_golden_avi())
+    assert vid.shape == (1, 2, 2, 3) and fps == 1.0
+    assert (vid[0] == GOLDEN_PIXELS).all()
+
+
+def test_encode_decode_avi_roundtrip_with_stride_padding():
+    rng = np.random.RandomState(11)
+    for n, h, w, fps in [(1, 2, 4, 4), (6, 2, 4, 4), (3, 5, 3, 10),
+                         (4, 8, 7, 25)]:
+        fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        vid, got = MM.decode_avi(MM.encode_avi(fr, fps=fps))
+        assert got == fps and (vid == fr).all(), (n, h, w, fps)
+
+
+def test_decode_avi_rejects_compressed_truncated_nonavi():
+    g = bytearray(_golden_avi())
+    strf_at = bytes(g).index(b"strf")
+    struct.pack_into("<I", g, strf_at + 8 + 16, 1)  # biCompression = RLE8
+    with pytest.raises(NotImplementedError):
+        MM.decode_avi(bytes(g))
+    with pytest.raises(ValueError):
+        MM.decode_avi(_golden_avi()[:40])
+    with pytest.raises(ValueError):
+        MM.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames(deterministic_fake=False) decodes the AVI container
+    and emits actual sampled frame bytes at every_ms timestamps."""
+    rng = np.random.RandomState(5)
+    fr = rng.randint(0, 256, size=(6, 2, 4, 3)).astype(np.uint8)
+    payload = MM.encode_avi(fr, fps=4)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), {"mime": "video/avi", "width": 4,
+                                  "height": 2, "duration_ms": 1500})],
+        MM.MEDIA_SCHEMA)
+    rows = sorted(MM.sample_frames(media, every_ms=500, max_frames=8,
+                                   deterministic_fake=False).collect(),
+                  key=lambda r: r.frame_no)
+    assert [(r.frame_no, r.ts_ms) for r in rows] == [(0, 0), (1, 500),
+                                                     (2, 1000)]
+    for r, idx in zip(rows, (0, 2, 4)):
+        assert bytes(r.frame) == fr[idx].tobytes()
+
+
+def test_avi_frame_sample_features_matches_hand_computation(spark):
+    ids = spark.createDataFrame([(17,), (99,)], "doc_id long")
+    rows = {(r.doc_id, r.frame_no): r for r in
+            MM.avi_frame_sample_features(ids).collect()}
+    assert len(rows) == 6  # 2 docs x sampled frames 0, 2, 4
+    for did in (17, 99):
+        for idx, t in [(0, 0), (2, 500), (4, 1000)]:
+            px = np.zeros((2, 4, 3), np.uint8)
+            for y in range(2):
+                raw = hashlib.md5(
+                    f"{did}:avi:{idx}:{y}".encode()).digest()[:12]
+                px[y] = np.frombuffer(raw, np.uint8).reshape(4, 3)
+            r = rows[(did, idx)]
+            s = px.astype(np.int64).sum(axis=(0, 1))
+            assert (r.ts_ms, r.sum_r, r.sum_g, r.sum_b) == (
+                t, s[0], s[1], s[2])
+            assert r.px_md5 == hashlib.md5(
+                px.tobytes().hex().encode()).hexdigest()
