@@ -885,24 +885,15 @@ def _q_corr_value_ts(spark, sf):
 
 def _q_embedding_pair_topk(spark, sf):
     """Embedding near-dup / similarity pairs: exact integer-quantized dot
-    product over all vec pairs, top-20.  At 100 TB scale the candidate set
-    comes from LSH buckets (operators/similarity.py::lsh_topk) instead of
-    the n² self-join; this entry pins the exact-scoring semantics."""
-    e = _t(spark, sf, "embeddings")
-    quant = e.select(
-        "vec_id",
-        F.transform("embedding",
-                    lambda x: F.round(x.cast("double") * 1000)).alias("v"))
-    a, b = quant.alias("a"), quant.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, v: acc + v)
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    dot.cast("long").alias("dot"))
-            .orderBy(F.col("dot").desc(), "id_a", "id_b")
-            .limit(20))
+    product over ALL vec pairs, top-20 — via the sharded-GEMM plan
+    (operators/similarity.py::exact_pair_topk): blocks join B(B+1)/2
+    ways, each block pair scores with one numpy matmul and keeps a local
+    top-k, so only B²·k candidate rows reach the final sort instead of
+    n²/2 (the r01-r03 self-join pin is gone).  LSH buckets
+    (operators/similarity.py::lsh_topk) remain the approximate path when
+    even sharded-exact is too costly."""
+    from new_ent_crawler_spark.operators.similarity import exact_pair_topk
+    return exact_pair_topk(_t(spark, sf, "embeddings"), k=20, n_blocks=4)
 
 
 def _q_map_pivot_user(spark, sf):

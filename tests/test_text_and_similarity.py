@@ -233,3 +233,30 @@ def test_ivf_centroids_clamps_to_corpus_size(spark):
     assert len(cents) == 3  # clamped to the 3 available seeds
     with pytest.raises(ValueError):
         SIM.ivf_centroids(e.filter("vec_id < 0"), n_centroids=4)
+
+
+def test_exact_pair_topk_equals_naive_self_join(spark):
+    """The sharded-GEMM exact pair top-k (one matmul per block pair,
+    local top-k, B²·k candidate rows) returns EXACTLY the naive
+    n² self-join's answer under the same total order, for several block
+    counts including B=1 (single GEMM) and B larger than needed."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    quant = e.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000)).alias("v"))
+    a, b = quant.alias("a"), quant.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    want = [(r.id_a, r.id_b, r.dot) for r in
+            (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     dot.cast("long").alias("dot"))
+             .orderBy(F.col("dot").desc(), "id_a", "id_b")
+             .limit(25)).collect()]
+    for n_blocks in (1, 3, 4, 7):
+        got = [(r.id_a, r.id_b, r.dot) for r in
+               SIM.exact_pair_topk(e, k=25, n_blocks=n_blocks).collect()]
+        assert got == want, n_blocks
