@@ -308,8 +308,10 @@ def decode_image(payload: bytes):
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        gray = decode_jpeg(payload)
-        return np.repeat(gray[:, :, None], 3, axis=2)
+        out = decode_jpeg(payload)
+        if out.ndim == 2:  # grayscale: replicate to RGB
+            return np.repeat(out[:, :, None], 3, axis=2)
+        return out
     raise NotImplementedError(
         "non-JPEG compressed image codecs are not shipped in this sandbox")
 
@@ -527,65 +529,98 @@ def _jpg_magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
+def _jpg_encode_block(bw, zz, pred, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC
+    predictor."""
+    size, extra = _jpg_magnitude(int(zz[0]) - pred)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        bw.put(extra, size)
+    run = 0
+    for v in zz[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.put(code, length)
+            run -= 16
+        size, extra = _jpg_magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.put(code, length)
+        bw.put(extra, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return int(zz[0])
+
+
 def encode_jpeg(pixels, qtable=None) -> bytes:
-    """Baseline grayscale JPEG bytes from an ``(H, W) uint8`` array.
+    """Baseline JPEG bytes from an ``(H, W)`` grayscale or ``(H, W, 3)``
+    RGB uint8 array (color goes through the JFIF YCbCr transform and is
+    written 4:4:4 interleaved, one block per component per MCU with
+    per-component DC predictors).
 
     ``H`` and ``W`` must be multiples of 8 (no edge-block replication —
-    callers pad).  ``qtable`` is 64 ints in natural order; the default
-    all-ones table makes flat 8x8 blocks byte-exact through the round trip
-    (DC = 8*(v-128) is an exact integer; IDCT of a DC-only block is flat),
-    which is what the DuckDB oracle for ``jpeg_decode_features`` relies on.
-    The FDCT runs vectorized over all blocks in one einsum; only entropy
-    coding walks Python per block."""
+    callers pad).  ``qtable`` is 64 ints in natural order, shared by all
+    components; the default all-ones table makes flat 8x8 blocks
+    byte-exact through the round trip (DC = 8*(v-128) is an exact
+    integer; IDCT of a DC-only block is flat) — for color that holds for
+    flat GRAY blocks, whose chroma planes are exactly 128 — which is
+    what the DuckDB oracles for ``jpeg_decode_features`` /
+    ``jpeg_color_decode_features`` rely on.  The FDCT runs vectorized
+    over all blocks per component in one einsum; only entropy coding
+    walks Python per block."""
     import struct
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 2 or px.shape[0] % 8 or px.shape[1] % 8:
-        raise ValueError("encode_jpeg needs a 2-D array with sides % 8 == 0")
-    h, w = px.shape
+    if px.ndim not in (2, 3) or px.shape[0] % 8 or px.shape[1] % 8 or \
+            (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("encode_jpeg needs (H, W) or (H, W, 3) uint8 "
+                         "with sides % 8 == 0")
+    h, w = px.shape[:2]
     q = np.asarray(qtable if qtable is not None else [1] * 64,
                    dtype=np.int32).reshape(8, 8)
     if q.min() < 1 or q.max() > 255:
         raise ValueError("8-bit quantization table entries must be 1..255")
 
+    if px.ndim == 3:
+        rgb = px.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+    else:
+        planes = [px]
+
     m = _jpg_dct_matrix()
-    blocks = (px.astype(np.float64) - 128.0).reshape(h // 8, 8, w // 8, 8)
-    coefs = np.einsum("uy,bycz,vz->bcuv", m, blocks, m)
-    quant = np.round(coefs / q[None, None]).astype(np.int64)
+    quants = []
+    for plane in planes:
+        blocks = (plane.astype(np.float64) - 128.0).reshape(
+            h // 8, 8, w // 8, 8)
+        coefs = np.einsum("uy,bycz,vz->bcuv", m, blocks, m)
+        quants.append(np.round(coefs / q[None, None]).astype(np.int64))
 
     dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
     ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    zig = list(_JPG_ZIGZAG)
     bw = _JpgBitWriter()
-    pred = 0
+    preds = [0] * len(planes)
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = quant[by, bx].ravel()[list(_JPG_ZIGZAG)]
-            size, extra = _jpg_magnitude(int(zz[0]) - pred)
-            pred = int(zz[0])
-            code, length = dc_codes[size]
-            bw.put(code, length)
-            if size:
-                bw.put(extra, size)
-            run = 0
-            for v in zz[1:]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL: 16 zeros
-                    bw.put(code, length)
-                    run -= 16
-                size, extra = _jpg_magnitude(v)
-                code, length = ac_codes[(run << 4) | size]
-                bw.put(code, length)
-                bw.put(extra, size)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.put(code, length)
+            for c, quant in enumerate(quants):  # 4:4:4 interleave
+                preds[c] = _jpg_encode_block(
+                    bw, quant[by, bx].ravel()[zig], preds[c],
+                    dc_codes, ac_codes)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -593,13 +628,18 @@ def encode_jpeg(pixels, qtable=None) -> bytes:
     def dht(cls_id: int, bits, vals) -> bytes:
         return seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
 
-    zz_q = q.ravel()[list(_JPG_ZIGZAG)]
+    n = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, n) + b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(n))
+    sos = bytes([n]) + b"".join(bytes([c + 1, 0]) for c in range(n)) \
+        + b"\x00\x3f\x00"
+    zz_q = q.ravel()[zig]
     return (b"\xff\xd8"
             + seg(0xFFDB, b"\x00" + bytes(int(x) for x in zz_q))
-            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+            + seg(0xFFC0, sof)
             + dht(0x00, _JPG_DC_BITS, _JPG_DC_VALS)
             + dht(0x10, _JPG_AC_BITS, _JPG_AC_VALS)
-            + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+            + seg(0xFFDA, sos)
             + bw.flush()
             + b"\xff\xd9")
 
@@ -676,14 +716,44 @@ def _jpg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpg_decode_block(br, dc_tree, ac_tree, pred):
+    """Entropy-decode one block; returns (zigzag int64[64], new pred)."""
+    import numpy as np
+    zz = np.zeros(64, np.int64)
+    size = _jpg_read_symbol(br, dc_tree)
+    pred += _jpg_extend(br.bits(size), size) if size else 0
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _jpg_read_symbol(br, ac_tree)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _jpg_extend(br.bits(size), size)
+        k += 1
+    return zz, pred
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline grayscale JPEG to an ``(H, W) uint8`` array.
+    """Decode a baseline JPEG to ``(H, W) uint8`` (grayscale) or
+    ``(H, W, 3) uint8`` RGB (3-component 4:4:4 YCbCr).
 
     Real marker walk (APPn/COM skipped, DQT/DHT accumulated, DRI + RSTn
-    honored, SOF0 8-bit single-component enforced), real canonical Huffman
-    entropy decode, dequantization, and float IDCT.  Progressive (SOF2),
-    multi-component color, and 16-bit tables raise ``NotImplementedError``
-    so unsupported inputs fail loudly instead of decoding garbage."""
+    honored, SOF0 8-bit enforced, per-component quantization and Huffman
+    table ids wired from SOF0/SOS), real canonical Huffman entropy decode
+    of interleaved MCUs with per-component DC predictors, dequantization,
+    float IDCT, and the JFIF YCbCr->RGB transform for color.  Progressive
+    (SOF2), chroma subsampling (anything but 1x1), and 16-bit tables
+    raise ``NotImplementedError`` so unsupported inputs fail loudly
+    instead of decoding garbage."""
     import struct
 
     import numpy as np
@@ -693,7 +763,9 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     trees: dict[int, dict] = {}
     h = w = 0
-    comp_q = dc_tree_id = ac_tree_id = 0
+    comp_tq: list[int] = []      # per component: quant table id (SOF0)
+    comp_ids: list[int] = []
+    scan_tables: dict[int, int] = {}  # component id -> Td/Ta byte (SOS)
     restart_interval = 0
     pos = 2
     while True:
@@ -732,11 +804,15 @@ def decode_jpeg(payload: bytes):
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if ncomp != 1:
-                raise NotImplementedError("only grayscale (1 component)")
-            if body[7] != 0x11:  # per-component: id, HiVi sampling, Tq
-                raise NotImplementedError("subsampled single component")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not implemented (4:4:4 only)")
+                comp_ids.append(cid)
+                comp_tq.append(tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)"
@@ -744,58 +820,54 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows the segment
-            dc_tree_id, ac_tree_id = body[2] >> 4, body[2] & 0x0F
+            for c in range(body[0]):
+                scan_tables[body[1 + 2 * c]] = body[2 + 2 * c]
             break
         # APPn / COM / anything else: skipped via seg_len
 
-    if not h or comp_q not in qtables:
+    if not h or not comp_ids or \
+            any(tq not in qtables for tq in comp_tq):
         raise ValueError("JPEG scan without SOF0/DQT")
     if h % 8 or w % 8:
         raise NotImplementedError("partial edge blocks not implemented")
-    dc_tree = trees[0x00 | dc_tree_id]
-    ac_tree = trees[0x10 | ac_tree_id]
-    q = qtables[comp_q]
+    ncomp = len(comp_ids)
+    comp_dc, comp_ac = [], []
+    for cid in comp_ids:
+        tdta = scan_tables[cid]
+        comp_dc.append(trees[0x00 | (tdta >> 4)])
+        comp_ac.append(trees[0x10 | (tdta & 0x0F)])
 
     br = _JpgBitReader(payload, pos)
     nby, nbx = h // 8, w // 8
-    coefs = np.zeros((nby, nbx, 8, 8), np.float64)
-    pred = 0
+    coefs = np.zeros((ncomp, nby, nbx, 8, 8), np.float64)
+    preds = [0] * ncomp
+    zig = list(_JPG_ZIGZAG)
     n_done = 0
     for by in range(nby):
         for bx in range(nbx):
             if restart_interval and n_done and \
                     n_done % restart_interval == 0:
-                br.restart()  # byte-align, consume RSTn, reset predictor
-                pred = 0
-            zz = np.zeros(64, np.int64)
-            size = _jpg_read_symbol(br, dc_tree)
-            pred += _jpg_extend(br.bits(size), size) if size else 0
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _jpg_read_symbol(br, ac_tree)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _jpg_extend(br.bits(size), size)
-                k += 1
-            nat = np.zeros(64, np.int64)
-            nat[list(_JPG_ZIGZAG)] = zz
-            coefs[by, bx] = nat.reshape(8, 8) * q
+                br.restart()  # byte-align, consume RSTn, reset predictors
+                preds = [0] * ncomp
+            for c in range(ncomp):  # 4:4:4 interleaved MCU
+                zz, preds[c] = _jpg_decode_block(
+                    br, comp_dc[c], comp_ac[c], preds[c])
+                nat = np.zeros(64, np.int64)
+                nat[zig] = zz
+                coefs[c, by, bx] = nat.reshape(8, 8) * qtables[comp_tq[c]]
             n_done += 1
 
     m = _jpg_dct_matrix()
-    px = np.einsum("xu,bcuv,zv->bxcz", m.T, coefs, m.T)
-    px = px.reshape(h, w) + 128.0
-    return np.clip(np.round(px), 0, 255).astype(np.uint8)
+    planes = np.einsum("xu,pbcuv,zv->pbxcz", m.T, coefs, m.T)
+    planes = planes.reshape(ncomp, h, w) + 128.0
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # -- AVI: real video container codec (uncompressed DIB frames) --------------
@@ -1209,6 +1281,46 @@ def jpeg_roundtrip_features(ids: DataFrame) -> DataFrame:
                 px[:8, :8], px[:8, 8:] = blk[0], blk[1]
                 px[8:, :8], px[8:, 8:] = blk[2], blk[3]
                 decoded = decode_jpeg(encode_jpeg(px))
+                rows.append((did, decoded.shape[1], decoded.shape[0],
+                             int(decoded.astype(np.int64).sum()),
+                             _hl.md5(decoded.tobytes().hex().encode())
+                             .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+def jpeg_color_roundtrip_features(ids: DataFrame) -> DataFrame:
+    """Color variant of :func:`jpeg_roundtrip_features`: the same flat
+    8x8 blocks, but encoded as a 3-component 4:4:4 YCbCr JPEG — so the
+    checked path adds the RGB<->YCbCr transforms, the interleaved
+    3-blocks-per-MCU entropy layout, and the per-component DC
+    predictors.  Flat GRAY blocks keep the round trip byte-exact (the
+    chroma planes are exactly 128, so their blocks quantize to all
+    zeros), letting the DuckDB oracle rebuild the decoded RGB bytes from
+    md5 hex with each gray byte tripled."""
+    import hashlib as _hl
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("px_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blk = _hl.md5(f"{did}:jpgc".encode()).digest()[:4]
+                rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+                rgb[:8, :8], rgb[:8, 8:] = blk[0], blk[1]
+                rgb[8:, :8], rgb[8:, 8:] = blk[2], blk[3]
+                decoded = decode_jpeg(encode_jpeg(rgb))
                 rows.append((did, decoded.shape[1], decoded.shape[0],
                              int(decoded.astype(np.int64).sum()),
                              _hl.md5(decoded.tobytes().hex().encode())

@@ -397,8 +397,10 @@ def test_decode_jpeg_rejects_progressive_truncated_color():
         MM.decode_jpeg(g[:-4])
     with pytest.raises(ValueError):  # not a JPEG at all
         MM.decode_jpeg(b"GIF89a" + g)
-    with pytest.raises(ValueError):  # 3-component encode (grayscale only)
-        MM.encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    with pytest.raises(ValueError):  # 2-channel arrays are not a thing
+        MM.encode_jpeg(np.zeros((8, 8, 2), np.uint8))
+    with pytest.raises(ValueError):  # sides must be multiples of 8
+        MM.encode_jpeg(np.zeros((9, 8), np.uint8))
 
 
 def test_decode_image_jpeg_dispatch():
@@ -516,3 +518,55 @@ def test_avi_frame_sample_features_matches_hand_computation(spark):
                 t, s[0], s[1], s[2])
             assert r.px_md5 == hashlib.md5(
                 px.tobytes().hex().encode()).hexdigest()
+
+
+# -- color (4:4:4 YCbCr) JPEG paths ------------------------------------------
+
+def test_encode_decode_jpeg_color_gray_flat_exact():
+    """Flat GRAY blocks through the 3-component path: chroma planes are
+    exactly 128, so the color round trip is byte-exact — the invariant
+    the jpeg_color_decode_features oracle relies on."""
+    for did in (5, 42):
+        blk = hashlib.md5(f"{did}:jpgc".encode()).digest()[:4]
+        rgb = np.zeros((16, 16, 3), np.uint8)
+        rgb[:8, :8], rgb[:8, 8:] = blk[0], blk[1]
+        rgb[8:, :8], rgb[8:, 8:] = blk[2], blk[3]
+        out = MM.decode_jpeg(MM.encode_jpeg(rgb))
+        assert out.shape == (16, 16, 3) and (out == rgb).all(), did
+
+
+def test_encode_decode_jpeg_color_lossy_tolerance():
+    """Real color content: q=1 error is bounded by the YCbCr uint8
+    rounding (~±3); Annex K on a smooth gradient stays mild."""
+    rng = np.random.RandomState(9)
+    c = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    out = MM.decode_jpeg(MM.encode_jpeg(c))
+    d = np.abs(out.astype(int) - c.astype(int))
+    assert d.max() <= 4 and d.mean() < 1.0
+    yy, xx = np.mgrid[0:16, 0:16]
+    g = np.stack([xx * 8, yy * 8, (xx + yy) * 4], axis=-1).astype(np.uint8)
+    out2 = MM.decode_jpeg(MM.encode_jpeg(g, qtable=MM.JPEG_QTABLE_ANNEX_K))
+    d2 = np.abs(out2.astype(int) - g.astype(int))
+    assert d2.max() <= 12 and d2.mean() < 4
+
+
+def test_decode_image_jpeg_color_dispatch():
+    rgb = np.full((8, 8, 3), 200, np.uint8)
+    out = MM.decode_image(MM.encode_jpeg(rgb))
+    assert out.shape == (8, 8, 3) and (out == 200).all()
+
+
+def test_jpeg_color_roundtrip_features_matches_hand_computation(spark):
+    ids = spark.createDataFrame([(17,), (99,)], "doc_id long")
+    rows = {r.doc_id: r for r in
+            MM.jpeg_color_roundtrip_features(ids).collect()}
+    for did in (17, 99):
+        blk = hashlib.md5(f"{did}:jpgc".encode()).digest()[:4]
+        rgb = np.zeros((16, 16, 3), np.uint8)
+        rgb[:8, :8], rgb[:8, 8:] = blk[0], blk[1]
+        rgb[8:, :8], rgb[8:, 8:] = blk[2], blk[3]
+        r = rows[did]
+        assert (r.width, r.height) == (16, 16)
+        assert r.sum_px == int(rgb.astype(np.int64).sum())
+        assert r.px_md5 == hashlib.md5(
+            rgb.tobytes().hex().encode()).hexdigest()
