@@ -7,13 +7,15 @@ Arrow-batched ``mapInPandas`` stages.  The Spark-side plumbing here (schemas,
 batching, partition sizing) is real and tested.  REAL codecs (pure
 stdlib+numpy, golden-fixture tested, no imaging/audio libraries): BMP,
 binary PPM, non-interlaced 8-bit PNG (zlib inflate + all five filters),
-baseline grayscale JPEG (Annex K Huffman tables, zigzag, dequant, IDCT,
-byte stuffing, RSTn), and PCM WAV (chunk-walking RIFF parse, 8/16-bit, any
-channel count).  Codecs that genuinely need libraries this container
-doesn't ship (MP3/AAC, color/progressive JPEG, video) raise
-``NotImplementedError`` unless ``deterministic_fake=True``,
-which derives stable pseudo-features from the md5 of the payload so the
-distributed pipeline is exercisable end to end.
+baseline JPEG — grayscale and 4:4:4 YCbCr color (Annex K Huffman tables,
+zigzag, dequant, IDCT, byte stuffing, RSTn) — PCM WAV (chunk-walking RIFF
+parse, 8/16-bit, any channel count), and uncompressed-DIB AVI video
+(hdrl/movi/idx1 chunk walk, frame sampling).  Codecs that genuinely need
+libraries this container doesn't ship (MP3/AAC, progressive/subsampled
+JPEG, compressed video) raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which derives stable pseudo-features from
+the md5 of the payload so the distributed pipeline is exercisable end to
+end over any byte stream.
 """
 
 from __future__ import annotations
@@ -323,9 +325,13 @@ def extract_features(media: DataFrame, dim: int = 8,
     Batch shape matters at scale: payloads are large, so
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds executor memory
     per batch; partition sizing should target payload bytes, not row counts.
-    """
+    The real path decodes through :func:`decode_image` (BMP/PPM/PNG/JPEG)
+    and emits a ``dim``-bin normalized grayscale intensity histogram —
+    a genuine content feature; ``deterministic_fake`` keeps the md5
+    stand-in for payloads with no real codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
             out_rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -336,7 +342,11 @@ def extract_features(media: DataFrame, dim: int = 8,
                 if deterministic_fake:
                     feat = _fake_feature(b, dim)
                 else:
-                    feat = decode_image(b)  # NotImplementedError by design
+                    gray = decode_image(b).astype(np.float64).mean(axis=2)
+                    hist, _ = np.histogram(gray, bins=dim,
+                                           range=(0.0, 256.0))
+                    feat = (hist / max(1, gray.size)).astype(
+                        np.float32).tolist()
                 out_rows.append((mid, len(b),
                                  hashlib.md5(b).hexdigest(), feat))
             yield pd.DataFrame(out_rows, columns=["media_id", "n_bytes",
@@ -1006,13 +1016,16 @@ def resize_images(media: DataFrame, width: int, height: int,
                   deterministic_fake: bool = True) -> DataFrame:
     """Resize plumbing: payload in -> payload out with new dimensions.
 
-    The real kernel would be PIL/opencv inside the same batch loop; the
-    deterministic fake emits a payload whose bytes depend on (digest, w, h)
-    so downstream stages (storage sizing, dedup on resized bytes) are
-    exercisable.  Rows with NULL payloads pass through as NULL — the same
+    The real path decodes through :func:`decode_image` (BMP/PPM/PNG/
+    JPEG), nearest-neighbor resamples with pure numpy indexing, and
+    re-encodes as PNG; the deterministic fake emits a payload whose bytes
+    depend on (digest, w, h) so downstream stages (storage sizing, dedup
+    on resized bytes) stay exercisable for payloads with no real codec.
+    Rows with NULL payloads pass through as NULL — the same
     null-contract as the fetch join."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -1025,7 +1038,10 @@ def resize_images(media: DataFrame, width: int, height: int,
                     out = (seed.digest() * ((width * height) // 16 + 1))
                     out = out[:width * height]
                 else:
-                    out = decode_image(b)  # NotImplementedError by design
+                    px = decode_image(b)
+                    sy = (np.arange(height) * px.shape[0]) // height
+                    sx = (np.arange(width) * px.shape[1]) // width
+                    out = encode_png(px[sy][:, sx], filter_mode="none")
                 rows.append((mid, out, width, height))
             yield pd.DataFrame(rows, columns=["media_id", "payload",
                                               "width", "height"])

@@ -108,9 +108,43 @@ def test_multimodal_features(spark, tiny_web):
         assert all(0.0 <= v <= 1.0 for v in r.feature)
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_decode_unknown_format_is_stubbed():
+    """Formats with no real codec (here: a bare zlib stream) still raise
+    loudly instead of decoding garbage."""
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\x78\x9cUNKNOWNFMT")
+
+
+def test_extract_features_real_path_histogram(spark):
+    """deterministic_fake=False decodes real payloads and emits a
+    normalized grayscale histogram."""
+    import numpy as np
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[2:] = 255  # half black, half white
+    media = spark.createDataFrame(
+        [(1, bytearray(MM.encode_bmp(px)), None)], MM.MEDIA_SCHEMA)
+    (r,) = MM.extract_features(media, dim=8,
+                               deterministic_fake=False).collect()
+    assert abs(sum(r.feature) - 1.0) < 1e-6
+    assert abs(r.feature[0] - 0.5) < 1e-6   # black bin
+    assert abs(r.feature[-1] - 0.5) < 1e-6  # white bin
+
+
+def test_resize_images_real_path_nearest_neighbor(spark):
+    """deterministic_fake=False decodes, nearest-neighbor resamples, and
+    re-encodes as PNG; a 2x downscale of a 2x2-upsampled image restores
+    the original pixels exactly."""
+    import numpy as np
+    rng = np.random.RandomState(13)
+    small = rng.randint(0, 256, size=(3, 4, 3)).astype(np.uint8)
+    big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    media = spark.createDataFrame(
+        [(1, bytearray(MM.encode_bmp(big)), None)], MM.MEDIA_SCHEMA)
+    (r,) = MM.resize_images(media, width=4, height=3,
+                            deterministic_fake=False).collect()
+    out = MM.decode_image(bytes(r.payload))
+    assert bytes(r.payload)[:8] == MM._PNG_SIG
+    assert (out == small).all()
 
 
 def test_ivf_topk_recall_vs_brute(spark):
