@@ -69,6 +69,17 @@ add("Salted skew join == plain join",
     "key spreads over 8 tasks. The DuckDB oracle for this query is the "
     "UNSALTED join — equality is part of the correctness gate.")
 
+add("Exact pair top-k: sharded GEMM instead of n² self-join",
+    qs["embedding_pair_topk"](spark, sf),
+    "Vectors shard by id into B blocks (one collect_list hash aggregate); "
+    "the B(B+1)/2 block pairs join as a tiny broadcast nested loop over "
+    "block METADATA rows, each pair scores with one numpy matmul inside "
+    "mapInPandas and keeps a local top-k under the final total order, so "
+    "only B²·k candidate rows reach TakeOrderedAndProject — the n²/2 "
+    "scored-pair stream of the naive self-join never exists. The DuckDB "
+    "oracle is still the naive n² join; equality is part of the "
+    "correctness gate.")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# PLANS — physical-plan review of the core operators\n\n"
             "`explain(formatted)` output (sf0.01 inputs) with the design "
