@@ -775,6 +775,7 @@ def decode_jpeg(payload: bytes):
     h = w = 0
     comp_tq: list[int] = []      # per component: quant table id (SOF0)
     comp_ids: list[int] = []
+    scan_order: list[int] = []   # SOS component order (MCU interleave)
     scan_tables: dict[int, int] = {}  # component id -> Td/Ta byte (SOS)
     restart_interval = 0
     pos = 2
@@ -831,6 +832,7 @@ def decode_jpeg(payload: bytes):
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows the segment
             for c in range(body[0]):
+                scan_order.append(body[1 + 2 * c])
                 scan_tables[body[1 + 2 * c]] = body[2 + 2 * c]
             break
         # APPn / COM / anything else: skipped via seg_len
@@ -840,10 +842,15 @@ def decode_jpeg(payload: bytes):
         raise ValueError("JPEG scan without SOF0/DQT")
     if h % 8 or w % 8:
         raise NotImplementedError("partial edge blocks not implemented")
+    if sorted(scan_order) != sorted(comp_ids):
+        raise NotImplementedError("partial (multi-scan) SOS not supported")
     ncomp = len(comp_ids)
-    comp_dc, comp_ac = [], []
-    for cid in comp_ids:
+    # decode in SOS order, store into the SOF-ordered plane slot
+    sof_slot = {cid: i for i, cid in enumerate(comp_ids)}
+    scan_slots, comp_dc, comp_ac = [], [], []
+    for cid in scan_order:
         tdta = scan_tables[cid]
+        scan_slots.append(sof_slot[cid])
         comp_dc.append(trees[0x00 | (tdta >> 4)])
         comp_ac.append(trees[0x10 | (tdta & 0x0F)])
 
@@ -859,12 +866,14 @@ def decode_jpeg(payload: bytes):
                     n_done % restart_interval == 0:
                 br.restart()  # byte-align, consume RSTn, reset predictors
                 preds = [0] * ncomp
-            for c in range(ncomp):  # 4:4:4 interleaved MCU
+            for c in range(ncomp):  # 4:4:4 interleaved MCU, SOS order
+                slot = scan_slots[c]
                 zz, preds[c] = _jpg_decode_block(
                     br, comp_dc[c], comp_ac[c], preds[c])
                 nat = np.zeros(64, np.int64)
                 nat[zig] = zz
-                coefs[c, by, bx] = nat.reshape(8, 8) * qtables[comp_tq[c]]
+                coefs[slot, by, bx] = \
+                    nat.reshape(8, 8) * qtables[comp_tq[slot]]
             n_done += 1
 
     m = _jpg_dct_matrix()

@@ -570,3 +570,88 @@ def test_jpeg_color_roundtrip_features_matches_hand_computation(spark):
         assert r.sum_px == int(rgb.astype(np.int64).sum())
         assert r.px_md5 == hashlib.md5(
             rgb.tobytes().hex().encode()).hexdigest()
+
+
+def test_decode_jpeg_sos_order_differs_from_sof():
+    """The MCU interleave follows SOS component order, not SOF order: a
+    color JPEG whose scan lists (Cr, Cb, Y) must decode identically.
+    Built by re-encoding the entropy stream with the component loop
+    reversed and patching the SOS segment to match."""
+    rgb = np.full((8, 8, 3), 0, np.uint8)
+    rgb[:, :4] = (200, 40, 90)  # chroma-heavy half-and-half content
+    base = MM.encode_jpeg(rgb)
+    want = MM.decode_jpeg(base)
+
+    # re-derive the three quantized component blocks exactly as the
+    # encoder does, then write them Cr,Cb,Y with a matching SOS
+    r, g, b = (rgb.astype(np.float64)[..., i] for i in range(3))
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)]
+    m = MM._jpg_dct_matrix()
+    zig = list(MM._JPG_ZIGZAG)
+    dc = MM._jpg_canonical_codes(MM._JPG_DC_BITS, MM._JPG_DC_VALS)
+    ac = MM._jpg_canonical_codes(MM._JPG_AC_BITS, MM._JPG_AC_VALS)
+    bw = MM._JpgBitWriter()
+    for c in (2, 1, 0):  # Cr, Cb, Y — reversed interleave
+        blk = (planes[c].astype(np.float64) - 128.0)
+        zz = np.round(m @ blk @ m.T).astype(np.int64).ravel()[zig]
+        MM._jpg_encode_block(bw, zz, 0, dc, ac)
+    sos_at = base.index(b"\xff\xda")
+    sos = bytes([3, 3, 0, 2, 0, 1, 0]) + b"\x00\x3f\x00"
+    data = (base[:sos_at] + struct.pack(">HH", 0xFFDA, len(sos) + 2)
+            + sos + bw.flush() + b"\xff\xd9")
+    out = MM.decode_jpeg(data)
+    assert (out == want).all()
+
+
+def test_decode_jpeg_rejects_partial_sos():
+    """A scan covering only a subset of SOF components (progressive-style
+    multi-scan) fails loudly."""
+    rgb = np.full((8, 8, 3), 77, np.uint8)
+    base = bytearray(MM.encode_jpeg(rgb))
+    sos_at = bytes(base).index(b"\xff\xda")
+    # rewrite SOS to list a single component (Y only)
+    sos = bytes([1, 1, 0]) + b"\x00\x3f\x00"
+    data = (bytes(base[:sos_at]) + struct.pack(">HH", 0xFFDA, len(sos) + 2)
+            + sos + bytes(base[sos_at + 12:]))
+    with pytest.raises(NotImplementedError):
+        MM.decode_jpeg(data)
+
+
+# -- property tests: codec round trips over arbitrary content ---------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.sampled_from([(8, 8), (16, 8),
+                                                       (8, 24), (32, 32)]))
+    def test_prop_jpeg_gray_q1_bounded_error(seed, shape):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        out = MM.decode_jpeg(MM.encode_jpeg(px))
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1),
+           st.integers(1, 5), st.integers(1, 9), st.integers(1, 9),
+           st.sampled_from([1, 4, 30]))
+    def test_prop_avi_roundtrip_exact(seed, n, h, w, fps):
+        rng = np.random.RandomState(seed)
+        fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        vid, got = MM.decode_avi(MM.encode_avi(fr, fps=fps))
+        assert got == fps and (vid == fr).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 6), st.integers(1, 6))
+    def test_prop_png_bmp_roundtrip_exact(seed, w, h):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (MM.decode_png(MM.encode_png(px, filter_mode="cycle"))
+                == px).all()
+        assert (MM.decode_bmp(MM.encode_bmp(px)) == px).all()
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
