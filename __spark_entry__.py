@@ -600,6 +600,24 @@ def _q_jpeg_color_decode_features(spark, sf):
         _t(spark, sf, "documents").select("doc_id"))
 
 
+def _q_contamination_probes(spark, sf):
+    """Benchmark-contamination check (functions/text.py::
+    contamination_hits): five probe strings — substrings of docs 1-5, a
+    bounded driver-side collect since probe sets are small by definition
+    — are scanned against every document's text in ONE JVM-side pass
+    (filter over an array literal with contains; no cross join), then
+    counted per probe.  The oracle re-derives the probes and joins on
+    contains()."""
+    from new_ent_crawler_spark.functions.text import contamination_hits
+    d = _t(spark, sf, "documents")
+    probes = [r.probe for r in
+              d.filter(F.col("doc_id").isin(1, 2, 3, 4, 5))
+              .select(F.expr("substr(text, 11, 24)").alias("probe"))
+              .collect()]
+    return (contamination_hits(d, probes)
+            .orderBy("probe"))
+
+
 def _q_avi_frame_sample(spark, sf):
     """REAL video-container path: per doc, synthesize a 6-frame 4x2 RGB
     video worker-side, round-trip it through the pure stdlib+numpy
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_features": _q_jpeg_decode_features,
         "jpeg_color_decode_features": _q_jpeg_color_decode_features,
         "avi_frame_sample": _q_avi_frame_sample,
+        "contamination_probes": _q_contamination_probes,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "sim_brute_topk": _q_sim_brute_topk,
         "explode_tokens": _q_explode_tokens,
@@ -2253,6 +2272,17 @@ def oracle_sql() -> dict[str, str]:
                        || repeat(repeat(h2, 8) || repeat(h3, 8), 8))
                        AS px_md5
             FROM v
+        """,
+        # probes are substrings of docs 1-5; the oracle joins documents
+        # against the probe set on contains() and counts hits per probe
+        "contamination_probes": """
+            WITH probes AS (
+                SELECT substr(text, 11, 24) AS probe
+                FROM documents WHERE doc_id IN (1, 2, 3, 4, 5)
+            )
+            SELECT probe, CAST(count(*) AS BIGINT) AS n_docs_hit
+            FROM probes p JOIN documents d ON contains(d.text, p.probe)
+            GROUP BY probe ORDER BY probe
         """,
         # color 4:4:4 JPEG of flat GRAY blocks is byte-exact (chroma
         # planes are exactly 128 -> all-zero blocks), so the oracle is

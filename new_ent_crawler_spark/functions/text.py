@@ -119,3 +119,23 @@ def token_repetition_fraction(col) -> Column:
     distinct = F.size(F.array_distinct(toks)).cast("double")
     return F.when(total > 0, F.round(F.lit(1.0) - distinct / total, 6)) \
         .otherwise(F.lit(0.0))
+
+
+def contamination_hits(docs, probes: list[str], text_col: str = "text"):
+    """Benchmark-contamination probe: for each probe string, count the
+    documents whose text contains it verbatim — the check an LLM
+    training pipeline runs against eval-set strings before training.
+
+    Probes are by definition a SMALL set, so they ride into the scan as
+    an array literal: each document is scanned ONCE, JVM-side
+    (``F.filter`` over the probe array with ``contains`` — no Python in
+    the hot path, no cross join, no shuffle before the tiny per-probe
+    count aggregate).  At 10^4+ probes where per-doc linear probing
+    hurts, the same contract runs as an Aho-Corasick ``mapInPandas``
+    stage; the JVM path is the honest default."""
+    arr = F.array(*[F.lit(p) for p in probes])
+    hit = docs.select(
+        F.explode(F.filter(
+            arr, lambda p: F.col(text_col).contains(p))).alias("probe"))
+    return hit.groupBy("probe").agg(
+        F.count(F.lit(1)).alias("n_docs_hit"))

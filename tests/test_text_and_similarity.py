@@ -294,3 +294,16 @@ def test_exact_pair_topk_equals_naive_self_join(spark):
         got = [(r.id_a, r.id_b, r.dot) for r in
                SIM.exact_pair_topk(e, k=25, n_blocks=n_blocks).collect()]
         assert got == want, n_blocks
+
+
+def test_contamination_hits_counts_and_misses(spark):
+    """Planted probes: one hits two docs, one hits a single doc, one
+    hits nothing (absent from the output, not a zero row)."""
+    from new_ent_crawler_spark.functions.text import contamination_hits
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a quick brown dog"),
+         (3, "nothing to see here")], "doc_id long, text string")
+    got = {r.probe: r.n_docs_hit for r in
+           contamination_hits(docs,
+                              ["quick brown", "dog", "unicorn"]).collect()}
+    assert got == {"quick brown": 2, "dog": 1}
