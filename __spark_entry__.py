@@ -1124,7 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (registry positions 51-81 in round 3) come first, followed by this
     round's new/restructured entries (png_decode_features,
     wav_decode_features, jpeg_decode_features, jpeg_color_decode_features,
-    avi_frame_sample,
+    avi_frame_sample, contamination_probes,
     approx_distinct_users with its officially-checkable ±5% bound) and a
     fill of r03-green headline entries — so every oracled entry keeps a
     green row within the last two CORRECTNESS files (entries displaced

@@ -307,3 +307,30 @@ def test_contamination_hits_counts_and_misses(spark):
            contamination_hits(docs,
                               ["quick brown", "dog", "unicorn"]).collect()}
     assert got == {"quick brown": 2, "dog": 1}
+
+
+def test_contamination_ac_equals_jvm_scan(spark):
+    """The Aho-Corasick mapInPandas variant returns exactly the JVM
+    filter-scan's counts — including the classic overlapping-suffix probe
+    set (he / she / hers / his) and real-corpus probes."""
+    from new_ent_crawler_spark.functions.text import (contamination_hits,
+                                                      contamination_hits_ac)
+    docs = spark.createDataFrame(
+        [(1, "she sells seashells"), (2, "his and hers"),
+         (3, "ushers usher"), (4, None), (5, "nothing")],
+        "doc_id long, text string")
+    probes = ["he", "she", "hers", "his"]
+    jvm = {r.probe: r.n_docs_hit for r in
+           contamination_hits(docs, probes).collect()}
+    ac = {r.probe: r.n_docs_hit for r in
+          contamination_hits_ac(docs, probes).collect()}
+    assert ac == jvm and jvm["he"] == 3 and jvm["hers"] == 2
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(200)
+    probes2 = [r.text[10:34] for r in corpus.limit(5).collect()]
+    jvm2 = {r.probe: r.n_docs_hit for r in
+            contamination_hits(corpus, probes2).collect()}
+    ac2 = {r.probe: r.n_docs_hit for r in
+           contamination_hits_ac(corpus, probes2).collect()}
+    assert ac2 == jvm2 and jvm2
