@@ -581,10 +581,56 @@ def _eff(runs: dict) -> tuple[dict | None, dict | None, float | None]:
     return low, high, eff
 
 
+def _wait_for_own_quiet(max_wait: float = 240.0) -> None:
+    """If a leftover test/build job from a build session (pytest, or a
+    Spark JVM it spawned) is still running when the bench starts, its CPU
+    use contaminates the timed legs.  Wait for OUR OWN competing
+    processes to exit — matching by name, never by load average, so
+    co-tenant noise (which min-of-N already defends against) can't stall
+    the run.  Bounded: after ``max_wait`` seconds we proceed anyway and
+    the leg markers record whatever happened."""
+    import subprocess
+
+    def ancestors() -> set:
+        # a pytest that SPAWNED us (the bench-budget tests do) is blocked
+        # waiting on us, not contending — exclude the ancestor chain
+        out, pid = {os.getpid()}, os.getpid()
+        for _ in range(64):
+            try:
+                with open(f"/proc/{pid}/status") as fh:
+                    ppid = next(int(ln.split()[1]) for ln in fh
+                                if ln.startswith("PPid:"))
+            except (OSError, StopIteration):
+                break
+            if ppid <= 1:
+                break
+            out.add(ppid)
+            pid = ppid
+        return out
+
+    skip = ancestors()
+    deadline = time.monotonic() + max_wait
+    while time.monotonic() < deadline:
+        try:
+            pids = subprocess.run(
+                ["pgrep", "-f", "pytest"], capture_output=True, text=True,
+                timeout=10).stdout.split()
+        except Exception:
+            return
+        others = [p for p in pids if p.isdigit() and int(p) not in skip]
+        if not others:
+            return
+        _log(f"waiting for leftover test jobs to exit: pids {others}")
+        time.sleep(5)
+    _log("proceeding despite leftover test jobs (wait budget exhausted)")
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    _wait_for_own_quiet(float(os.environ.get("BENCH_WAIT_QUIET_S", "240")))
 
     spark = _quiet(get_spark(app="bench-queries", cpus=cpus))
     t0 = time.perf_counter()

@@ -182,7 +182,8 @@ def test_sigterm_mid_run_still_emits_parseable_line():
     stdout — the r03 failure mode (rc 124, parsed: null) must be impossible
     as long as the process gets any catchable signal."""
     script = textwrap.dedent("""
-        import sys, time
+        import os, sys, time
+        os.environ["BENCH_WAIT_QUIET_S"] = "0"  # pytest itself is running
         sys.path.insert(0, %r)
         import bench
         bench.run_queries = lambda spark, sf_dir: {"fake_q": 0.5}
@@ -223,3 +224,30 @@ def test_sigterm_mid_run_still_emits_parseable_line():
     assert parsed["queries"] == {"fake_q": 0.5}
     assert parsed["crawl"]["scaling_efficiency"] == 0.83
     assert "elapsed_at_kill" in parsed
+
+
+def test_wait_for_own_quiet_excludes_ancestors(monkeypatch):
+    """The pre-bench quiet guard ignores its own ancestor chain (a pytest
+    that spawned the bench is blocked on it) but waits, bounded, for
+    foreign test jobs."""
+    import subprocess as sp
+
+    import bench as b
+
+    class _R:
+        def __init__(self, out):
+            self.stdout = out
+
+    # only ancestors reported -> returns immediately
+    own = f"{os.getpid()}\n{os.getppid()}\n"
+    monkeypatch.setattr(sp, "run", lambda *a, **kw: _R(own))
+    t0 = time.monotonic()
+    b._wait_for_own_quiet(max_wait=30.0)
+    assert time.monotonic() - t0 < 1.0
+
+    # a foreign pid -> bounded wait, then proceeds
+    monkeypatch.setattr(sp, "run", lambda *a, **kw: _R(own + "99999999\n"))
+    monkeypatch.setattr(b.time, "sleep", lambda s: None)
+    t0 = time.monotonic()
+    b._wait_for_own_quiet(max_wait=0.2)
+    assert time.monotonic() - t0 < 5.0
