@@ -617,7 +617,11 @@ def _wait_for_own_quiet(max_wait: float = 240.0) -> None:
                 timeout=10).stdout.split()
         except Exception:
             return
-        others = [p for p in pids if p.isdigit() and int(p) not in skip]
+        # pid 1 (init) can match when an orphaned job was reparented to it
+        # (or when a caller's ancestor chain ends there) — init is never a
+        # contending test job, so never wait on it.
+        others = [p for p in pids
+                  if p.isdigit() and int(p) > 1 and int(p) not in skip]
         if not others:
             return
         _log(f"waiting for leftover test jobs to exit: pids {others}")
