@@ -199,8 +199,13 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(F.split(normalized_text(text_col), " "))
                     .alias("tok"))
-            .filter(F.length("tok") > 0))
-    h = _hash64(F.col("tok"), 0)
+            .filter(F.length("tok") > 0)
+            # materialize the md5-derived hash ONCE per token: referencing
+            # the raw expression from all 60 per-bit aggregates would
+            # re-evaluate md5+conv 60x per row (subexpression elimination
+            # does not reach into independent aggregate buffers)
+            .withColumn("h", _hash64(F.col("tok"), 0)))
+    h = F.col("h")
     bit_cols = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"b{i}")
