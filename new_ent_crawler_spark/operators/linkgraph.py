@@ -123,3 +123,25 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     nodes.unpersist()
     weighted.unpersist()
     return ranks
+
+
+def centrality_host_boost(ranks: DataFrame, n_tiers: int = 4) -> DataFrame:
+    """PageRank table → integer ``(host, boost)`` priority tiers.
+
+    The frontier's total order is integer-valued (priority, depth,
+    page_type_score, …; operators/frontier.py::_order_cols), so a float
+    centrality can't feed it directly — and floats in an ordering key are
+    a cross-run determinism hazard anyway.  This buckets the rank table
+    into ``n_tiers`` exact NTILE tiers (via
+    operators/ranking.py::distributed_ntile — range-parallel, no single-
+    partition window) and returns ``boost`` in ``[0, n_tiers)`` with the
+    HIGHEST-rank hosts getting the biggest boost.  The result is O(hosts)
+    — broadcast-join it onto the frontier and add ``boost`` to
+    ``page_type_score``: the open-web generalization of the reference's
+    fixed listing-before-detail score (spiders/worker.py:168-190), which
+    is the registry-specific special case of "fetch central pages first".
+    Ties inside a tier keep the frontier's deterministic url tiebreak."""
+    from .ranking import distributed_ntile
+    tiled = distributed_ntile(ranks, n_tiers, ["rank", "node"])
+    return tiled.select(F.col("node").alias("host"),
+                        (F.col("tile") - 1).cast("int").alias("boost"))

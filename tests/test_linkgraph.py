@@ -71,6 +71,28 @@ def test_degree_stats_full_outer(edges_df):
     assert sum(i for _, i in got.values()) == len(e)
 
 
+def test_centrality_host_boost_tiers(edges_df):
+    df, e = edges_df
+    ranks = LG.pagerank(df, iterations=4)
+    boost = {r["host"]: r["boost"]
+             for r in LG.centrality_host_boost(ranks, n_tiers=4).collect()}
+    n = len({s for s, _ in e} | {d for _, d in e})
+    assert set(boost.values()) <= set(range(4))
+    assert len(boost) == n
+    # the sink node 9 absorbs mass from 4 in-links -> top tier;
+    # pure sources (5, 6, 7, 8: no in-links) hold the minimum rank, but
+    # 10 rows over 4 exact-NTILE tiers bucket as 3,3,2,2 so the node-id
+    # tiebreak spills the last of the four into tier 2
+    assert boost[9] == 3
+    assert all(boost[v] == 0 for v in (5, 6, 7))
+    assert boost[8] <= 1
+    # monotone: a higher rank never gets a lower boost
+    rk = {r["node"]: r["rank"] for r in ranks.collect()}
+    pairs = [(rk[v], boost[v]) for v in boost]
+    pairs.sort()
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(pairs, pairs[1:]))
+
+
 def test_derive_edges_deterministic_with_sinks(spark):
     ev = spark.range(0, 2000).select(F.col("id").alias("event_id"))
     e1 = LG.derive_edges(ev, n_src=10, n_nodes=14)
