@@ -80,6 +80,21 @@ add("Exact pair top-k: sharded GEMM instead of n² self-join",
     "oracle is still the naive n² join; equality is part of the "
     "correctness gate.")
 
+from new_ent_crawler_spark.operators import linkgraph as LG
+_edges = LG.derive_edges(spark.read.parquet(sf + "/events.parquet"))
+add("PageRank: one power iteration (pre-checkpoint)",
+    LG.pagerank(_edges, iterations=1, checkpoint=False),
+    "One iteration's plan, shown without the localCheckpoint that "
+    "production runs insert per iteration to truncate lineage. The rank "
+    "update is: edges pre-weighted with out-degrees once (persisted, "
+    "reused every iteration) join the O(V) rank table, then a partial "
+    "(map-side) HashAggregate on dst carries per-partition contribution "
+    "sums into ONE exchange; the dangling-mass term arrives as a 1-row "
+    "BroadcastNestedLoopJoin (an aggregate broadcast back into the plan, "
+    "not a per-iteration driver collect). At 10^10 edges the per-"
+    "iteration cost is one E-side join + one V-sized shuffle; AQE turns "
+    "the rank join into a broadcast when V fits.")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# PLANS — physical-plan review of the core operators\n\n"
             "`explain(formatted)` output (sf0.01 inputs) with the design "

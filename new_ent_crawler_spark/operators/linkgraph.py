@@ -75,7 +75,7 @@ def degree_stats(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             iterations: int = 5) -> DataFrame:
+             iterations: int = 5, checkpoint: bool = True) -> DataFrame:
     """Damped PageRank with uniform dangling-mass redistribution.
 
     rank_{k+1}(v) = (1-d)/N + d * (Σ_{(u,v)∈E} rank_k(u)/outdeg(u)
@@ -84,7 +84,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     where ``dangling_k`` is the total rank held by nodes with no out-edges.
     Returns ``(node, rank)`` summing to 1.0 (mass-conserving) after any
     number of iterations.  See the module docstring for the scale design;
-    the only driver-side scalar is N (one count job before the loop)."""
+    the only driver-side scalar is N (one count job before the loop).
+    ``checkpoint=False`` skips the per-iteration lineage truncation so a
+    single iteration's physical plan can be inspected (docs_gen/
+    gen_plans.py); production callers keep the default."""
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct()
@@ -116,10 +119,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           + F.lit(damping)
                           * (F.coalesce(F.col("m"), F.lit(0.0))
                              + F.col("dm") / F.lit(float(n))))
-                         .alias("rank"))
-                 # truncate lineage: without this the logical plan doubles
-                 # per iteration and analysis time dominates by iter ~15
-                 .localCheckpoint(eager=True))
+                         .alias("rank")))
+        if checkpoint:
+            # truncate lineage: without this the logical plan doubles per
+            # iteration and analysis time dominates by iter ~15
+            ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     weighted.unpersist()
     return ranks
