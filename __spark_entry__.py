@@ -557,6 +557,19 @@ def _q_png_decode_features(spark, sf):
         _t(spark, sf, "documents").select("doc_id"))
 
 
+def _q_gif_decode_features(spark, sf):
+    """REAL GIF codec path: per doc, synthesize a deterministic 5-color
+    4x4 paletted image worker-side, round-trip it through the pure
+    stdlib+numpy encode_gif/decode_gif pair (operators/multimodal.py —
+    palette quantization + variable-width LZW with the width schedule the
+    1x1-pixel public golden fixture pins), and emit per-channel pixel
+    sums + the md5 of the decoded RGB hex.  The oracle rebuilds the same
+    values from md5 string arithmetic (palette lookup by hex slice)."""
+    from new_ent_crawler_spark.operators import multimodal as MM
+    return MM.gif_roundtrip_features(
+        _t(spark, sf, "documents").select("doc_id"))
+
+
 def _q_wav_decode_features(spark, sf):
     """REAL audio-codec path: per doc, synthesize 8 stereo frames of
     deterministic int16 PCM worker-side (two md5 digests taken as
@@ -1184,7 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round's new/restructured entries (png_decode_features,
     wav_decode_features, jpeg_decode_features, jpeg_color_decode_features,
     avi_frame_sample, contamination_probes, link_pagerank,
-    link_degree_stats, url_canonicalize,
+    link_degree_stats, url_canonicalize, gif_decode_features,
     approx_distinct_users with its officially-checkable ±5% bound) and a
     fill of r03-green headline entries — so every oracled entry keeps a
     green row within the last two CORRECTNESS files (entries displaced
@@ -1238,7 +1251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_last_writer_wins": _q_dedup_last_writer_wins,
         "seen_set_anti_join": _q_seen_set_anti_join,
         "broadcast_dim_join": _q_broadcast_dim_join,
-        "fanout_rejoin": _q_fanout_rejoin,
         "wav_decode_features": _q_wav_decode_features,
         "jpeg_decode_features": _q_jpeg_decode_features,
         "jpeg_color_decode_features": _q_jpeg_color_decode_features,
@@ -1247,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _q_link_pagerank,
         "link_degree_stats": _q_link_degree_stats,
         "url_canonicalize": _q_url_canonicalize,
+        "gif_decode_features": _q_gif_decode_features,
         "sim_brute_topk": _q_sim_brute_topk,
         "explode_tokens": _q_explode_tokens,
         "events_daily": _q_events_daily,
@@ -1257,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": _q_tpch_q5ish,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_exact": _q_dedup_exact,
+        "fanout_rejoin": _q_fanout_rejoin,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "range_join_tiers": _q_range_join_tiers,
         "moving_avg_daily": _q_moving_avg_daily,
@@ -2313,6 +2327,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(b) AS BIGINT) AS sum_b,
                    md5(string_agg(rgb_hex, '' ORDER BY y, x)) AS px_md5
             FROM px GROUP BY doc_id
+        """,
+        # gif round-trip: palette color i is hex slice 6i+1..6i+6 of
+        # md5(doc:gp); pixel j's palette index is byte j of md5(doc:gi)
+        # mod 5; the decoded RGB hex is the palette slices concatenated in
+        # pixel order because the codec must restore the exact bytes
+        "gif_decode_features": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            h AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':gp') AS hp,
+                       md5(CAST(doc_id AS VARCHAR) || ':gi') AS hi
+                FROM ids
+            ), px AS (
+                SELECT doc_id, j, hp,
+                       CAST('0x' || substr(hi, 2*j+1, 2) AS BIGINT) % 5
+                           AS idx
+                FROM h, (SELECT unnest(range(0, 16)) AS j)
+            ), pix AS (
+                SELECT doc_id, j,
+                       substr(hp, 6*idx+1, 6) AS rgb_hex,
+                       CAST('0x' || substr(hp, 6*idx+1, 2) AS BIGINT) AS r,
+                       CAST('0x' || substr(hp, 6*idx+3, 2) AS BIGINT) AS g,
+                       CAST('0x' || substr(hp, 6*idx+5, 2) AS BIGINT) AS b
+                FROM px
+            )
+            SELECT doc_id, 4 AS width, 4 AS height, 1 AS n_frames,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   md5(string_agg(rgb_hex, '' ORDER BY j)) AS px_md5
+            FROM pix GROUP BY doc_id
         """,
         # mirror of the engine's synth->encode_wav->decode_audio round
         # trip: block b's 16 md5 bytes are 8 little-endian int16 samples

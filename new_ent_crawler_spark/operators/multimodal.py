@@ -8,9 +8,10 @@ batching, partition sizing) is real and tested.  REAL codecs (pure
 stdlib+numpy, golden-fixture tested, no imaging/audio libraries): BMP,
 binary PPM, non-interlaced 8-bit PNG (zlib inflate + all five filters),
 baseline JPEG — grayscale and 4:4:4 YCbCr color (Annex K Huffman tables,
-zigzag, dequant, IDCT, byte stuffing, RSTn) — PCM WAV (chunk-walking RIFF
-parse, 8/16-bit, any channel count), and uncompressed-DIB AVI video
-(hdrl/movi/idx1 chunk walk, frame sampling).  Codecs that genuinely need
+zigzag, dequant, IDCT, byte stuffing, RSTn) — GIF87a/89a (variable-width
+LZW, global/local color tables, extension skipping), PCM WAV
+(chunk-walking RIFF parse, 8/16-bit, any channel count), and
+uncompressed-DIB AVI video (hdrl/movi/idx1 chunk walk, frame sampling).  Codecs that genuinely need
 libraries this container doesn't ship (MP3/AAC, progressive/subsampled
 JPEG, compressed video) raise ``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives stable pseudo-features from
@@ -297,8 +298,10 @@ def decode_image(payload: bytes):
 
     REAL decode paths (pure stdlib+numpy, no imaging library):
     uncompressed 24-bpp BMP, binary PPM (P6), non-interlaced 8-bit PNG
-    (zlib inflate + all five scanline filters), and baseline grayscale
-    JPEG (canonical Huffman + dequant + IDCT; gray replicated to RGB).
+    (zlib inflate + all five scanline filters), baseline grayscale
+    JPEG (canonical Huffman + dequant + IDCT; gray replicated to RGB),
+    and single/first-frame GIF87a/89a (variable-width LZW + color
+    tables).
     Other formats raise ``NotImplementedError`` — those codecs are not
     shipped in this container and are honestly stubbed rather than
     faked."""
@@ -314,8 +317,11 @@ def decode_image(payload: bytes):
         if out.ndim == 2:  # grayscale: replicate to RGB
             return np.repeat(out[:, :, None], 3, axis=2)
         return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)[0]
     raise NotImplementedError(
-        "non-JPEG compressed image codecs are not shipped in this sandbox")
+        "non-JPEG/GIF compressed image codecs are not shipped in this "
+        "sandbox")
 
 
 def extract_features(media: DataFrame, dim: int = 8,
@@ -1013,6 +1019,205 @@ def decode_avi(payload: bytes):
     return out, fps
 
 
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width (mcs+1 .. 12 bits, LSB-first),
+    CLEAR emitted once up front, deferred clear at the 4096-entry cap
+    (spec-compliant: both sides simply stop adding entries)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    cur = ()
+    for idx in map(int, indices):
+        nxt = cur + (idx,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        cur = (idx,)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """Inverse of :func:`_gif_lzw_encode`; mirrors its width/cap schedule
+    exactly (widen when next_code hits 1<<width, stop adding at 4096)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table, next_code, width = dict(base), eoi + 1, min_code_size + 1
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev = None
+    while len(out) < n_expected:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table, next_code, width = dict(base), eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = table[prev] + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError("corrupt LZW code")
+        # the decoder's table lags the encoder's by ONE entry (the entry
+        # for the code just read is only created on the NEXT read), so it
+        # widens one entry earlier than its own counter: at 2^w - 1, where
+        # the encoder widens at 2^w
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = code
+    return bytes(out[:n_expected])
+
+
+def encode_gif(pixels) -> bytes:
+    """Serialize an ``HxWx3 uint8`` RGB array as a single-frame GIF89a
+    (global color table built from the image's distinct colors — must be
+    <= 256 — and real LZW compression).  Inverse of :func:`decode_gif`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF needs <= 256 distinct colors")
+    k = max(1, int(len(palette) - 1).bit_length())  # table = 2^k entries
+    table = np.zeros((1 << k, 3), np.uint8)
+    table[:len(palette)] = palette
+    mcs = max(2, k)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | (k - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _gif_lzw_encode(indices.ravel(), mcs)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF87a/89a payload to ``(HxWx3 uint8 RGB, n_frames)``.
+
+    Real decode: logical-screen + global color table, extension skipping
+    (GCE transparency is ignored — the palette color renders), per-frame
+    local color tables, and the variable-width LZW stream.  The returned
+    pixels are the FIRST frame; ``n_frames`` counts image descriptors.
+    Interlaced frames and frames smaller than the logical screen (which
+    need disposal-method compositing) raise ``NotImplementedError`` —
+    honestly stubbed, same contract as the other codecs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    first = None
+    n_frames = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload,
+                                                        pos)
+        pos += 9
+        lct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = np.frombuffer(payload[pos:pos + 3 * n],
+                                np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if fpacked & 0x40:
+            raise NotImplementedError("Adam-style GIF interlace")
+        if (left, top, fw, fh) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "partial-screen GIF frames need disposal compositing")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            data += payload[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if lct is None:
+                raise ValueError("GIF frame without any color table")
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs, fw * fh), np.uint8)
+            if int(idx.max(initial=0)) >= len(lct):
+                raise ValueError("palette index out of range")
+            first = lct[idx].reshape(fh, fw, 3).copy()
+    if first is None:
+        raise ValueError("GIF without an image descriptor")
+    return first, n_frames
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("payload", T.BinaryType(), True),
@@ -1354,6 +1559,60 @@ def jpeg_color_roundtrip_features(ids: DataFrame) -> DataFrame:
                                               out_schema.fields])
 
     return ids.select("doc_id").mapInPandas(run, schema=out_schema)
+
+
+GIF_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("sum_r", T.LongType(), True),
+    T.StructField("sum_g", T.LongType(), True),
+    T.StructField("sum_b", T.LongType(), True),
+    T.StructField("px_md5", T.StringType(), True),
+])
+
+
+def gif_roundtrip_features(ids: DataFrame) -> DataFrame:
+    """Encode -> decode -> feature-extract through the REAL GIF codec
+    (palette quantization + variable-width LZW), mirroring
+    :func:`bmp_roundtrip_features`'s oracle pattern.
+
+    Per id, worker-side: build a deterministic 5-color palette (the first
+    15 bytes of ``md5(f"{doc_id}:gp")`` as 5 RGB triples) and a 4x4 index
+    grid (byte ``j`` of ``md5(f"{doc_id}:gi")`` mod 5), render, serialize
+    with :func:`encode_gif`, decode back with :func:`decode_gif`, and emit
+    per-channel pixel sums + the md5 of the decoded RGB hex.  The DuckDB
+    oracle rebuilds the exact same sums and digest from md5 string
+    arithmetic (palette lookup by hex-slice), so a defect anywhere in the
+    LZW width schedule, palette order, or index stream breaks the hash.
+    Arrow-batched mapInPandas; only ids pass through, shuffle-free."""
+    import hashlib as _hl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pal = np.frombuffer(
+                    _hl.md5(f"{did}:gp".encode()).digest()[:15],
+                    np.uint8).reshape(5, 3)
+                idx = np.frombuffer(
+                    _hl.md5(f"{did}:gi".encode()).digest(),
+                    np.uint8).astype(np.int64) % 5
+                px = pal[idx].reshape(4, 4, 3)
+                decoded, nf = decode_gif(encode_gif(px))
+                assert (decoded == px).all()
+                s = decoded.astype(np.int64).sum(axis=(0, 1))
+                rows.append((did, decoded.shape[1], decoded.shape[0], nf,
+                             int(s[0]), int(s[1]), int(s[2]),
+                             _hl.md5(decoded.tobytes().hex().encode())
+                             .hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              GIF_FEATURE_SCHEMA.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=GIF_FEATURE_SCHEMA)
 
 
 def avi_frame_sample_features(ids: DataFrame, n_frames: int = 6,

@@ -85,8 +85,10 @@ def test_decode_image_dispatch():
             == GOLDEN_PIXELS).all()
     with pytest.raises(ValueError):
         MM.decode_image(b"\xff\xd8\xff\xe0....")  # truncated JPEG
+    with pytest.raises(ValueError):
+        MM.decode_image(b"GIF89a......")  # GIF decodes for real now
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"GIF89a......")  # GIF stays stubbed
+        MM.decode_image(b"\x00\x00\x01\xba......")  # MPEG stays stubbed
 
 
 # -- PNG: the real COMPRESSED codec (zlib + all five scanline filters) ------
@@ -620,6 +622,82 @@ def test_decode_jpeg_rejects_partial_sos():
         MM.decode_jpeg(data)
 
 
+# -- GIF: golden public fixture, LZW schedule, dispatch, honest stubs -------
+
+# the canonical 43-byte 1x1 white tracking GIF — public knowledge bytes,
+# produced by an INDEPENDENT encoder, so it pins the LZW width schedule
+# and block layout against the outside world, not just our own pair
+_GOLDEN_GIF_1PX = bytes.fromhex(
+    "474946383961010001008000"
+    "00ffffff00000021f90401000000002c00000000010001000002024401003b")
+
+
+def test_decode_gif_golden_public_1px():
+    px, n_frames = MM.decode_gif(_GOLDEN_GIF_1PX)
+    assert n_frames == 1 and px.shape == (1, 1, 3)
+    assert (px == 255).all()  # palette color 0 is white
+
+
+def test_decode_image_gif_dispatch():
+    assert (MM.decode_image(_GOLDEN_GIF_1PX) == 255).all()
+
+
+def test_gif_roundtrip_paletted_images():
+    rng = np.random.RandomState(11)
+    for (h, w, ncol) in [(1, 1, 1), (2, 3, 2), (4, 4, 5), (16, 16, 256),
+                         (7, 130, 3)]:
+        pal = rng.randint(0, 256, (ncol, 3), np.uint8)
+        px = pal[rng.randint(0, ncol, (h, w))]
+        out, nf = MM.decode_gif(MM.encode_gif(px))
+        assert nf == 1 and out.shape == px.shape and (out == px).all()
+
+
+def test_gif_lzw_cap_crossing():
+    """A stream long enough to fill the 4096-entry dictionary exercises
+    the deferred-clear path (both sides stop adding, width pinned at 12)."""
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 256, 60000)
+    enc = MM._gif_lzw_encode(idx, 8)
+    dec = np.frombuffer(MM._gif_lzw_decode(enc, 8, len(idx)), np.uint8)
+    assert (dec == idx).all()
+
+
+def test_gif_too_many_colors_rejected():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (32, 32, 3), np.uint8)  # ~1024 distinct colors
+    with pytest.raises(ValueError):
+        MM.encode_gif(px)
+
+
+def test_gif_honest_stubs():
+    # interlaced frame: flip the interlace bit in a valid payload
+    buf = bytearray(MM.encode_gif(np.zeros((2, 2, 3), np.uint8)))
+    img_at = buf.index(0x2C, 13)
+    buf[img_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        MM.decode_gif(bytes(buf))
+    with pytest.raises(ValueError):
+        MM.decode_gif(b"NOTGIF" + bytes(20))
+
+
+def test_gif_roundtrip_features_matches_hand_computation(spark):
+    ids = spark.createDataFrame([(7,), (42,)], "doc_id long")
+    got = {r["doc_id"]: r.asDict()
+           for r in MM.gif_roundtrip_features(ids).collect()}
+    for did in (7, 42):
+        pal = np.frombuffer(hashlib.md5(f"{did}:gp".encode()).digest()[:15],
+                            np.uint8).reshape(5, 3)
+        idx = np.frombuffer(hashlib.md5(f"{did}:gi".encode()).digest(),
+                            np.uint8).astype(np.int64) % 5
+        px = pal[idx].reshape(4, 4, 3)
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        r = got[did]
+        assert (r["width"], r["height"], r["n_frames"]) == (4, 4, 1)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(map(int, s))
+        assert r["px_md5"] == hashlib.md5(
+            px.tobytes().hex().encode()).hexdigest()
+
+
 # -- property tests: codec round trips over arbitrary content ---------------
 
 try:
@@ -644,6 +722,16 @@ try:
         fr = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
         vid, got = MM.decode_avi(MM.encode_avi(fr, fps=fps))
         assert got == fps and (vid == fr).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(2, 8),
+           st.integers(1, 300))
+    def test_prop_gif_lzw_roundtrip_exact(seed, mcs, n):
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, 1 << mcs, n)
+        enc = MM._gif_lzw_encode(idx, mcs)
+        dec = np.frombuffer(MM._gif_lzw_decode(enc, mcs, n), np.uint8)
+        assert (dec == idx).all()
 
     @settings(max_examples=25, deadline=None)
     @given(st.integers(0, 2**31 - 1), st.integers(1, 6), st.integers(1, 6))
