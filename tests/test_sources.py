@@ -77,3 +77,91 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == 25
     # partition filter reaches the scan: only one of 4 dirs read
     assert "PartitionFilters: [isnotnull(grp" in plan, plan
+
+
+# -- sitemap source ----------------------------------------------------------
+
+_SM_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+_SITEMAP_A = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset {_SM_NS}>
+  <url><loc>https://a.example/page1</loc><lastmod>2026-01-02</lastmod>
+       <changefreq>daily</changefreq><priority>0.9</priority></url>
+  <url><loc>https://a.example/page2</loc><priority>0.2</priority></url>
+  <url><loc>https://a.example/page3</loc></url>
+</urlset>"""
+
+# namespace-less producer (common in the wild)
+_SITEMAP_B = """<?xml version="1.0"?>
+<urlset>
+  <url><loc>https://b.example/only</loc></url>
+</urlset>"""
+
+_SITEMAP_IDX = f"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex {_SM_NS}>
+  <sitemap><loc>https://a.example/sitemap-a.xml</loc>
+           <lastmod>2026-02-03</lastmod></sitemap>
+  <sitemap><loc>https://b.example/sitemap-b.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def _write_sitemaps(tmp_path):
+    import gzip as _gz
+    (tmp_path / "a.xml").write_text(_SITEMAP_A)
+    (tmp_path / "b.xml.gz").write_bytes(_gz.compress(_SITEMAP_B.encode()))
+    (tmp_path / "idx.xml").write_text(_SITEMAP_IDX)
+    (tmp_path / "broken.xml").write_text("<urlset><url><loc>unclosed")
+    (tmp_path / "notsm.xml").write_text("<rss></rss>")
+
+
+def test_sitemap_read(spark, tmp_path):
+    from new_ent_crawler_spark.sources import sitemap as SM
+    _write_sitemaps(tmp_path)
+    df = SM.read_sitemaps(spark, str(tmp_path) + "/*.xml*")
+    rows = {(r["kind"], r["url"]): r for r in df.collect()}
+    # 4 url rows (3 namespaced + 1 gz namespace-less) + 2 index pointers;
+    # broken/non-sitemap files contribute nothing
+    assert len(rows) == 6
+    a1 = rows[("url", "https://a.example/page1")]
+    assert (a1["lastmod"], a1["changefreq"], a1["priority"]) == (
+        "2026-01-02", "daily", 0.9)
+    assert rows[("url", "https://a.example/page3")]["priority"] is None
+    assert ("url", "https://b.example/only") in rows
+    idx = rows[("sitemap", "https://a.example/sitemap-a.xml")]
+    assert idx["lastmod"] == "2026-02-03"
+
+
+def test_sitemap_seeds_feed_frontier(spark, tmp_path):
+    from new_ent_crawler_spark.operators import frontier as FR
+    from new_ent_crawler_spark.sources import sitemap as SM
+    _write_sitemaps(tmp_path)
+    entries = SM.read_sitemaps(spark, str(tmp_path) + "/*.xml*")
+    seeds = SM.seeds_from_sitemap(entries, default_priority=1)
+    got = {r["seed_url"]: r for r in seeds.collect()}
+    assert len(got) == 4  # index pointers are not page seeds
+    assert got["https://a.example/page1"]["priority"] == 2   # 0.9 lane
+    assert got["https://a.example/page2"]["priority"] == 1   # 0.2 lane
+    assert got["https://a.example/page3"]["priority"] == 2   # 0.5 default
+    assert got["https://b.example/only"]["host"] == "b.example"
+    # deterministic ids: re-read numbers identically
+    again = {r["seed_url"]: r["seed_id"] for r in
+             SM.seeds_from_sitemap(entries).collect()}
+    assert all(got[u]["seed_id"] == again[u] for u in got)
+    # and the frontier accepts the schema
+    fr = FR.init_frontier(seeds)
+    assert fr.count() == 4
+    assert {r["status"] for r in fr.select("status").collect()} == {0}
+
+
+def test_robots_sitemap_directive(spark):
+    from new_ent_crawler_spark.sources.sitemap import robots_sitemap_urls
+    body = ("User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://h.example/sitemap.xml\n"
+            "sitemap:https://h.example/other.xml.gz\n"
+            "# Sitemap: commented out is still matched-free\n")
+    df = spark.createDataFrame([(body,), ("User-agent: *\n",)],
+                               "robots string")
+    got = [r[0] for r in df.select(robots_sitemap_urls("robots")).collect()]
+    assert got[0] == ["https://h.example/sitemap.xml",
+                      "https://h.example/other.xml.gz"]
+    assert got[1] == []
