@@ -9,9 +9,10 @@ the SQL so the driver's order-insensitive value-hash compares cleanly; all
 floating-point aggregates are rounded on both sides (sum->2dp, avg/ratio->
 4-6dp) because distributed summation order differs from DuckDB's.
 
-Only two entries are rows-only (no ``oracle_sql``): approx_count_distinct
-(engine-specific HLL sketch) and the multimodal stub features.  Everything
-else has a DuckDB oracle — including the ANN/simhash family, whose md5-
+Every registry entry has a DuckDB oracle as of r04 (the last two rows-only
+entries were upgraded: approx_count_distinct now returns an officially-
+checkable |approx-exact| <= 5% bound, and the multimodal stand-in feature
+is md5-byte arithmetic reproduced in SQL) — including the ANN/simhash family, whose md5-
 derived hyperplanes/fingerprints are deterministic constants reproducible
 in SQL, and whose per-row sequential float folds are bit-identical across
 engines (verified: zero bucket or cosine-at-6dp mismatches at sf0.01);
@@ -511,12 +512,16 @@ def _q_approx_distinct(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
-    # rows-only: binary-payload plumbing (operators/multimodal.py); the
-    # decode step is a deterministic stub in this container.  The raw
-    # array<float> feature stays inside the operator — the check surface
-    # projects it to scalar columns (dim + concat of rounded components)
-    # because the driver's canonicalizer cannot sort/factorize list cells
-    # (r01 hard error: "unhashable type: 'list'").
+    """Binary-payload feature plumbing (operators/multimodal.py) over the
+    deterministic md5 stand-in path.  The raw array<float> feature stays
+    inside the operator — the check surface projects it to scalar columns
+    (dim + concat of rounded components) because the driver's canonicalizer
+    cannot sort/factorize list cells (r01 hard error: "unhashable type:
+    'list'").  Oracled since r04: the stand-in feature is md5-byte
+    arithmetic (byte i/255 as float32), exactly reproducible in SQL — all
+    256 possible byte values were verified to format identically under
+    Spark's format_number(HALF_UP decimal) and DuckDB's printf (binary
+    round-half-even) because k/255 never lands on a .00005 boundary."""
     from new_ent_crawler_spark.operators import multimodal as MM
     d = _t(spark, sf, "documents")
     media = d.select(F.col("doc_id").alias("media_id"),
@@ -1240,8 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/restructured this round ------------------------------------
         "png_decode_features": _q_png_decode_features,
         "approx_distinct_users": _q_approx_distinct,
-        # rows-only entry keeps a fresh official row (no SQL oracle by
-        # design: container-stubbed codec feature vector)
+        # oracled since r04 (md5-byte stand-in feature replicated in SQL)
         "multimodal_features": _q_multimodal_features,
         # -- r03-green headline fill to 50 ----------------------------------
         "tpch_q1": _q_tpch_q1,
@@ -2490,6 +2494,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
                    CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
             FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        """,
+        # the md5 stand-in feature replicated in SQL: byte i of md5(text)
+        # over 255 as float32, formatted %.4f (cross-engine equality of all
+        # 256 byte values verified — see _q_multimodal_features docstring)
+        "multimodal_features": """
+            WITH d AS (
+                SELECT doc_id AS media_id, text, md5(text) AS hx
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   hx AS digest,
+                   CAST(8 AS BIGINT) AS feature_dim,
+                   concat_ws(',',
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 1, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 3, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 5, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 7, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 9, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 11, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 13, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE)),
+                       printf('%.4f', CAST(CAST(CAST('0x' || substr(hx, 15, 2)
+                           AS BIGINT) / 255.0 AS FLOAT) AS DOUBLE))
+                   ) AS feature_sig
+            FROM d
         """,
         # probes are substrings of docs 1-5; the oracle joins documents
         # against the probe set on contains() and counts hits per probe
