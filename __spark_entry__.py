@@ -1158,6 +1158,28 @@ def _q_link_degree_stats(spark, sf):
     return LG.degree_stats(edges)
 
 
+def _q_recrawl_schedule(spark, sf):
+    """Change-frequency recrawl scheduling (operators/recrawl.py): map a
+    deterministic sitemaps.org changefreq onto events, compute the revisit
+    interval, next-due timestamp and due flag against a fixed mid-range
+    clock — all JVM expressions, NTZ-frame comparisons (session timezone
+    cannot shift the schedule).  'never' rows have NULL interval/next_due
+    and are never due."""
+    from new_ent_crawler_spark.operators import recrawl as RC
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.col("ts").alias("lastmod_ts"),
+        F.when(F.col("event_type") == "click", "hourly")
+        .when(F.col("event_type") == "view", "always")
+        .when(F.col("event_type") == "purchase", "weekly")
+        .when(F.col("event_type") == "signup", "monthly")
+        .otherwise("never").alias("changefreq"))
+    out = RC.revisit_schedule(ev, now="2024-01-20 00:00:00")
+    return out.select(
+        "event_id", "changefreq", "interval_s",
+        F.date_format("next_due", "yyyy-MM-dd HH:mm:ss").alias("next_due"),
+        "is_due")
+
+
 def _q_url_canonicalize(spark, sf):
     """Canonicalize messy raw URLs (case, default ports, query-param order,
     fragments, empty paths) into the seen-set/frontier key form — the
@@ -1254,7 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_priority_dequeue": _q_wave_priority_dequeue,
         "dedup_last_writer_wins": _q_dedup_last_writer_wins,
         "seen_set_anti_join": _q_seen_set_anti_join,
-        "broadcast_dim_join": _q_broadcast_dim_join,
         "wav_decode_features": _q_wav_decode_features,
         "jpeg_decode_features": _q_jpeg_decode_features,
         "jpeg_color_decode_features": _q_jpeg_color_decode_features,
@@ -1264,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degree_stats": _q_link_degree_stats,
         "url_canonicalize": _q_url_canonicalize,
         "gif_decode_features": _q_gif_decode_features,
+        "recrawl_schedule": _q_recrawl_schedule,
         "sim_brute_topk": _q_sim_brute_topk,
         "explode_tokens": _q_explode_tokens,
         "events_daily": _q_events_daily,
@@ -1275,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_exact": _q_dedup_exact,
         "fanout_rejoin": _q_fanout_rejoin,
+        "broadcast_dim_join": _q_broadcast_dim_join,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "range_join_tiers": _q_range_join_tiers,
         "moving_avg_daily": _q_moving_avg_daily,
@@ -2428,6 +2451,37 @@ def oracle_sql() -> dict[str, str]:
                        || repeat(repeat(h2, 8) || repeat(h3, 8), 8))
                        AS px_md5
             FROM v
+        """,
+        # operators/recrawl.py::revisit_schedule replicated: changefreq ->
+        # interval seconds, next_due = lastmod + interval in the NTZ frame,
+        # due vs the same fixed clock; 'never' -> NULL interval, never due
+        "recrawl_schedule": """
+            WITH m AS (
+                SELECT event_id, ts,
+                    CASE event_type
+                        WHEN 'click' THEN 'hourly'
+                        WHEN 'view' THEN 'always'
+                        WHEN 'purchase' THEN 'weekly'
+                        WHEN 'signup' THEN 'monthly'
+                        ELSE 'never' END AS changefreq
+                FROM events),
+            s AS (
+                SELECT event_id, ts, changefreq,
+                    CASE changefreq
+                        WHEN 'always' THEN 0
+                        WHEN 'hourly' THEN 3600
+                        WHEN 'weekly' THEN 604800
+                        WHEN 'monthly' THEN 2592000
+                        ELSE NULL END AS interval_s
+                FROM m)
+            SELECT event_id, changefreq,
+                CAST(interval_s AS BIGINT) AS interval_s,
+                strftime(ts + to_seconds(interval_s),
+                         '%Y-%m-%d %H:%M:%S') AS next_due,
+                COALESCE(ts + to_seconds(interval_s)
+                         <= TIMESTAMP '2024-01-20 00:00:00',
+                         FALSE) AS is_due
+            FROM s
         """,
         # functions/url.py::canonicalize_url replicated with DuckDB's
         # regexp/list primitives over the same synthesized raw URLs

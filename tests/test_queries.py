@@ -84,12 +84,12 @@ def test_query_matches_oracle(spark, duck, name):
         assert ks == kd, (name, c, spdf[c].dtype, ddf[c].dtype)
 
 
-def test_rows_only_queries_run(spark):
+def test_every_query_has_an_oracle():
+    """Since r04 every registry entry carries a DuckDB oracle — the driver
+    never records a weaker rows-only row.  A new entry without an oracle
+    should fail here, not silently downgrade the correctness gate."""
     names = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    assert names  # the weaker-check entries exist and are intentional
-    for name in sorted(names):
-        df = entrymod.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0, name
+    assert names == set()
 
 
 def test_entry_smoke(spark):
