@@ -1213,7 +1213,8 @@ def _q_url_canonicalize(spark, sf):
     return raw.select(
         "event_id",
         U.canonicalize_url("url").alias("url_canon"),
-        U.url_host("url").alias("host"))
+        U.url_host("url").alias("host"),
+        U.surt_key("url").alias("surt"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1225,7 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wav_decode_features, jpeg_decode_features, jpeg_color_decode_features,
     avi_frame_sample, contamination_probes, link_pagerank,
     link_degree_stats, url_canonicalize, gif_decode_features,
-    approx_distinct_users with its officially-checkable ±5% bound) and a
+    recrawl_schedule,
+    approx_distinct_users with its officially-checkable ±5% bound,
+    multimodal_features newly oracled) and a
     fill of r03-green headline entries — so every oracled entry keeps a
     green row within the last two CORRECTNESS files (entries displaced
     past position 50 this round are all r03-green).  ALL oracled entries
@@ -2535,7 +2538,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '?' || array_to_string(
                             list_sort(string_split(qbody, '&')), '&') END)
                 END AS url_canon,
-                regexp_replace(auth0, ':\d+$', '') AS host
+                regexp_replace(auth0, ':\d+$', '') AS host,
+                CASE WHEN regexp_replace(auth0, ':\d+$', '') = '' THEN NULL
+                ELSE
+                    array_to_string(list_reverse(string_split(
+                        regexp_replace(auth0, ':\d+$', ''), '.')), ',')
+                    || ')/'
+                    || regexp_replace(
+                        (CASE WHEN path0 = '' THEN '/' ELSE path0 END),
+                        '^/', '')
+                    || (CASE WHEN length(qbody) = 0 THEN ''
+                        ELSE '?' || array_to_string(
+                            list_sort(string_split(qbody, '&')), '&') END)
+                END AS surt
             FROM parts
         """,
         "link_pagerank": _pagerank_oracle(damping=0.85, iterations=3),

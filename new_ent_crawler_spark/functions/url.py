@@ -64,3 +64,29 @@ def url_host(col) -> Column:
     u = F.trim(_c(col))
     return F.lower(
         F.regexp_replace(F.regexp_extract(u, URL_RE, 2), r":\d+$", ""))
+
+
+def surt_key(col) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key, the URL form
+    Common Crawl's CDX index sorts by: host labels reversed and
+    comma-joined, then ``)/`` + path + bytewise-sorted query —
+    ``https://Sub.Example.COM/a/b?z=1&a=2`` → ``com,example,sub)/a/b?a=2&z=1``.
+    Grouping a crawl by SURT prefix clusters a registrable domain's pages
+    into contiguous sort ranges (the property CDX range queries rely on).
+    Same canonicalization substrate as :func:`canonicalize_url`: lowercase
+    host, no port, empty path → ``/``, empty query dropped; non-URL input
+    yields NULL (a sort key, unlike the canonicalizer's raw fallback,
+    must never mix key spaces)."""
+    u = F.trim(_c(col))
+    host = url_host(u)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(u, URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qbody = F.substring(F.regexp_extract(u, URL_RE, 4), 2, 1 << 20)
+    query = F.when(
+        F.length(qbody) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"),
+                 F.concat_ws("&", F.array_sort(F.split(qbody, "&")))))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")/"), F.regexp_replace(path, "^/", ""),
+                 query))

@@ -41,6 +41,23 @@ def test_canonicalize_idempotent(spark):
     assert once == twice
 
 
+def test_surt_key(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.Example.COM:443/a/b?z=1&a=2",),
+         ("http://h.com",),
+         ("http://h.com:8080/x",),   # port dropped from the sort key
+         ("notaurl",)], "url string")
+    got = [r[0] for r in df.select(U.surt_key("url")).collect()]
+    assert got == ["com,example,sub)/a/b?a=2&z=1",
+                   "com,h)/",
+                   "com,h)/x",
+                   None]   # non-URLs must not pollute the key space
+    # SURT keys sort a domain's pages contiguously
+    assert (sorted(["com,example,sub)/a", "com,example,sub)/b",
+                    "com,other)/x"])[:2]
+            == ["com,example,sub)/a", "com,example,sub)/b"])
+
+
 def test_url_host(spark):
     df = spark.createDataFrame(
         [("HTTP://Host1.Example.COM:8080/a?q=1",), ("notaurl",)],
