@@ -60,10 +60,14 @@ def canonicalize_url(col) -> Column:
 
 
 def url_host(col) -> Column:
-    """Lowercased authority without port — the politeness-bucket key."""
+    """Lowercased host: authority with userinfo and port stripped — the
+    politeness-bucket / robots-lookup / SURT key.  Keeping ``user@`` in
+    the key would split politeness buckets and dodge robots rules for
+    URLs spelled with credentials."""
     u = F.trim(_c(col))
-    return F.lower(
-        F.regexp_replace(F.regexp_extract(u, URL_RE, 2), r":\d+$", ""))
+    auth = F.regexp_extract(u, URL_RE, 2)
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+$", ""))
 
 
 def surt_key(col) -> Column:

@@ -99,6 +99,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                 .persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
+        weighted.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
     has_out = out_deg.select(F.col("src").alias("node"))

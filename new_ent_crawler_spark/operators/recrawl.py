@@ -66,8 +66,16 @@ def revisit_schedule(df: DataFrame, now: str,
     return (df
             .withColumn("interval_s", iv)
             .withColumn("next_due", next_due)
-            .withColumn("is_due",
-                        F.coalesce(next_due <= now_ts, F.lit(False))))
+            .withColumn(
+                "is_due",
+                # 'never' (NULL interval) -> never due; a NULL lastmod with
+                # a revisit-able frequency -> due NOW (lastmod is optional
+                # per sitemaps.org and commonly absent — treating unknown
+                # age as never-due would silently exempt those pages from
+                # recrawl forever)
+                F.when(iv.isNull(), F.lit(False))
+                .when(F.col(lastmod_col).isNull(), F.lit(True))
+                .otherwise(next_due <= now_ts)))
 
 
 def requeue_due(frontier: DataFrame, schedule: DataFrame, wave: int,

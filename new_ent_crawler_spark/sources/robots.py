@@ -7,9 +7,10 @@ table, so a crawl can bootstrap politeness from the live web instead of a
 curated table:
 
 * :func:`parse_robots_txt` — group-based parse: consecutive ``User-agent``
-  lines open a group; the group chosen for an agent is the longest
-  case-insensitive product-token match, with ``*`` as fallback (RFC 9309
-  §2.2.1).  Extracts Allow/Disallow rules, Crawl-delay (de-facto
+  lines open a group; ALL groups matching the agent at the most-specific
+  level (longest case-insensitive product-token match, ``*`` as fallback)
+  are MERGED per RFC 9309 §2.2.1, with the most conservative Crawl-delay
+  winning.  Extracts Allow/Disallow rules, Crawl-delay (de-facto
   extension), and Sitemap lines (which are group-independent).
 * :func:`is_allowed` — longest-match-wins between Allow and Disallow with
   RFC wildcard semantics (``*`` any-span, ``$`` end anchor); Allow wins
@@ -41,9 +42,10 @@ def parse_robots_txt(body: str, agent: str = "*") -> dict:
     """Parse one robots.txt body for ``agent``.
 
     Returns ``{"allow": [...], "disallow": [...], "crawl_delay":
-    float|None, "sitemaps": [...]}``.  Group selection: the group whose
-    ``User-agent`` token is the longest case-insensitive substring of
-    ``agent`` wins; ``*`` groups are the fallback.  Unparseable lines are
+    float|None, "sitemaps": [...]}``.  Group selection: the longest
+    case-insensitive ``User-agent`` substring match of ``agent`` sets the
+    specificity level (``*`` = fallback level), and every group AT that
+    level merges (RFC 9309 §2.2.1 MUST-merge).  Unparseable lines are
     skipped (robots.txt in the wild is full of them)."""
     agent_l = agent.lower()
     groups: list[dict] = []  # {agents: [..], allow: [], disallow: [], cd}
@@ -83,22 +85,37 @@ def parse_robots_txt(body: str, agent: str = "*") -> dict:
             except ValueError:
                 pass
 
-    best, best_len = None, -1
-    for g in groups:
+    def match_len(g) -> int:
+        best = -1
         for a in g["agents"]:
             if a == "*":
-                length = 0
+                best = max(best, 0)
             elif a and a in agent_l:
-                length = len(a)
-            else:
-                continue
-            if length > best_len:
-                best, best_len = g, length
-    if best is None:
+                best = max(best, len(a))
+        return best
+
+    # RFC 9309 §2.2.1: when multiple groups match the agent at the same
+    # (most-specific) level, their rules MUST be merged — real robots.txt
+    # files often carry several groups for the same token (CDN/plugin
+    # concatenation), and taking only one would drop live Disallow rules
+    best_len = max((match_len(g) for g in groups), default=-1)
+    if best_len < 0:
         return {"allow": [], "disallow": [], "crawl_delay": None,
                 "sitemaps": sitemaps}
-    return {"allow": list(best["allow"]), "disallow": list(best["disallow"]),
-            "crawl_delay": best["crawl_delay"], "sitemaps": sitemaps}
+    allow: list[str] = []
+    disallow: list[str] = []
+    crawl_delay = None
+    for g in groups:
+        if match_len(g) != best_len:
+            continue
+        allow += g["allow"]
+        disallow += g["disallow"]
+        if g["crawl_delay"] is not None:
+            # most conservative politeness wins across merged groups
+            crawl_delay = (g["crawl_delay"] if crawl_delay is None
+                           else max(crawl_delay, g["crawl_delay"]))
+    return {"allow": allow, "disallow": disallow,
+            "crawl_delay": crawl_delay, "sitemaps": sitemaps}
 
 
 def _rule_regex(rule: str) -> re.Pattern:
@@ -169,6 +186,27 @@ def filter_allowed(urls: DataFrame, rules: DataFrame,
         for f in joined.schema.fields if not f.name.startswith("_rb_"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # precompile each distinct rule once per worker: re's global
+        # 512-pattern cache thrashes when the broadcast rules exceed it,
+        # turning the hot loop into repeated sre compilation
+        compiled: dict[str, re.Pattern] = {}
+
+        def rx(rule: str) -> re.Pattern:
+            pat = compiled.get(rule)
+            if pat is None:
+                pat = compiled[rule] = _rule_regex(rule)
+            return pat
+
+        def allowed(path, al, dis) -> bool:
+            best_len, verdict = -1, True
+            for rules, verd in ((al, True), (dis, False)):
+                for r in rules:
+                    if r and rx(r).match(path):
+                        ln = len(r)
+                        if ln > best_len or (ln == best_len and verd):
+                            best_len, verdict = ln, verd
+            return verdict
+
         for pdf in batches:
             keep = []
             for i, (u, al, dis) in enumerate(zip(
@@ -178,7 +216,7 @@ def filter_allowed(urls: DataFrame, rules: DataFrame,
                     continue
                 m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", str(u))
                 path = str(u)[m.end():] or "/" if m else str(u)
-                if is_allowed(path, list(al or []), list(dis)):
+                if allowed(path, list(al or []), list(dis)):
                     keep.append(i)
             yield pdf.iloc[keep].drop(
                 columns=[c for c in pdf.columns if c.startswith("_rb_")])

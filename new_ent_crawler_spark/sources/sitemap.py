@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 from xml.etree import ElementTree
 
@@ -70,8 +71,12 @@ def parse_sitemap_bytes(payload: bytes):
         if not loc:
             continue
         prio = _find(el, "priority")
+        try:
+            prio_f = float(prio) if prio is not None else None
+        except ValueError:
+            prio_f = None  # '<priority>high</priority>' exists in the wild
         yield (kind, loc, _find(el, "lastmod"), _find(el, "changefreq"),
-               float(prio) if prio is not None else None)
+               prio_f)
 
 
 def read_sitemaps(spark: SparkSession, path: str) -> DataFrame:
@@ -89,11 +94,14 @@ def read_sitemaps(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for path_, blob in zip(pdf["path"], pdf["content"]):
                 try:
-                    for tup in parse_sitemap_bytes(bytes(blob)):
-                        rows.append(tup + (path_,))
+                    # materialize BEFORE appending: a mid-generator error
+                    # must yield zero rows for the file, never a partial
+                    # prefix that looks complete
+                    tups = list(parse_sitemap_bytes(bytes(blob)))
                 except (ElementTree.ParseError, ValueError, OSError,
-                        EOFError):
+                        EOFError, zlib.error):
                     continue  # a broken sitemap never kills the seed job
+                rows.extend(tup + (path_,) for tup in tups)
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, SITEMAP_SCHEMA)
@@ -106,7 +114,12 @@ def robots_sitemap_urls(robots_body_col):
     from pyspark.sql import functions as F
     c = (F.col(robots_body_col)
          if isinstance(robots_body_col, str) else robots_body_col)
-    lines = F.split(c, "\n")
+    # CRLF line endings are the norm for web-served robots.txt, and '#'
+    # opens a comment anywhere on a line — both must be stripped or the
+    # extracted URL carries a trailing '\r' / ' # comment' and never
+    # matches a fetched child sitemap (parity with robots.py's parser)
+    lines = F.transform(F.split(c, "\r?\n"),
+                        lambda ln: F.regexp_replace(ln, "#.*$", ""))
     maps = F.filter(lines, lambda ln: ln.rlike(r"(?i)^\s*sitemap\s*:"))
     return F.transform(
         maps, lambda ln: F.trim(F.regexp_replace(ln, r"(?i)^\s*sitemap\s*:",
@@ -126,9 +139,13 @@ def seeds_from_sitemap(entries: DataFrame, default_priority: int = 1,
     from ..functions.url import url_host
     from ..operators.ranking import _with_global_rn
 
+    # dedup on url ALONE (the same url can appear in two sitemaps with
+    # different priorities — (url, prio) distinct would double-seed it and
+    # tie _with_global_rn's url order key); the max priority wins so the
+    # more eager advertisement decides the lane
     urls = (entries.filter(F.col("kind") == "url")
-            .select("url", F.coalesce("priority", F.lit(0.5)).alias("prio"))
-            .distinct())
+            .groupBy("url")
+            .agg(F.max(F.coalesce("priority", F.lit(0.5))).alias("prio")))
     numbered, _ = _with_global_rn(urls, ["url"])
     return numbered.select(
         F.col("url").alias("seed_url"),

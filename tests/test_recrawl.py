@@ -64,3 +64,16 @@ def test_requeue_due_resets_only_terminal_rows(spark):
     assert out["https://h/c"]["enqueue_wave"] == 0
     # schema preserved
     assert set(out["https://h/a"].asDict()) == set(FR.FRONTIER_COLS)
+
+
+def test_null_lastmod_is_due_unless_never(spark):
+    """lastmod is optional per sitemaps.org — unknown age must mean 'due
+    now', not 'never recrawl'; only changefreq 'never' opts out."""
+    df = spark.createDataFrame(
+        [("u/nullmod", None, "hourly"), ("u/nullnever", None, "never")],
+        "url string, lastmod_ts timestamp_ntz, changefreq string")
+    from new_ent_crawler_spark.operators import recrawl as RC2
+    out = {r["url"]: r for r in
+           RC2.revisit_schedule(df, now="2024-01-20 00:00:00").collect()}
+    assert out["u/nullmod"]["is_due"] is True
+    assert out["u/nullnever"]["is_due"] is False

@@ -91,3 +91,18 @@ def test_filter_allowed(spark):
     assert got == [2, 3, 5]
     # schema and columns survive the round trip
     assert RB.filter_allowed(urls, rules).columns == ["url", "tag"]
+
+
+def test_groups_with_same_agent_merge():
+    """RFC 9309 §2.2.1: multiple matching groups MUST merge (CDN/plugin
+    concatenation commonly produces several 'User-agent: *' groups)."""
+    body = ("User-agent: *\nDisallow: /a\nCrawl-delay: 3\n\n"
+            "User-agent: *\nDisallow: /b\nCrawl-delay: 7\n")
+    r = RB.parse_robots_txt(body)
+    assert r["disallow"] == ["/a", "/b"]
+    assert r["crawl_delay"] == 7.0  # most conservative across groups
+    assert not RB.is_allowed("/b/x", r["allow"], r["disallow"])
+    # a more specific group is NOT merged with the * fallback
+    body2 = ("User-agent: specialbot\nDisallow: /s\n\n"
+             "User-agent: *\nDisallow: /g\n")
+    assert RB.parse_robots_txt(body2, "SpecialBot")["disallow"] == ["/s"]

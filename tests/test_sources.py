@@ -165,3 +165,48 @@ def test_robots_sitemap_directive(spark):
     assert got[0] == ["https://h.example/sitemap.xml",
                       "https://h.example/other.xml.gz"]
     assert got[1] == []
+
+
+def test_sitemap_bad_gzip_and_bad_priority_tolerated(spark, tmp_path):
+    import gzip as _gz
+    from new_ent_crawler_spark.sources import sitemap as SM
+    # bit-flipped deflate body: zlib.error must skip the file, not the job
+    blob = bytearray(_gz.compress(_SITEMAP_B.encode()))
+    blob[len(blob) // 2] ^= 0xFF
+    (tmp_path / "corrupt.xml.gz").write_bytes(bytes(blob))
+    # a non-numeric priority must not drop the file's other urls
+    (tmp_path / "badprio.xml").write_text(
+        f"""<urlset {_SM_NS}>
+        <url><loc>https://c.example/1</loc></url>
+        <url><loc>https://c.example/2</loc><priority>high</priority></url>
+        <url><loc>https://c.example/3</loc></url>
+        </urlset>""")
+    df = SM.read_sitemaps(spark, str(tmp_path) + "/*.xml*")
+    urls = {r["url"]: r["priority"] for r in df.collect()}
+    assert set(urls) == {"https://c.example/1", "https://c.example/2",
+                         "https://c.example/3"}
+    assert urls["https://c.example/2"] is None
+
+
+def test_sitemap_duplicate_url_seeds_once(spark):
+    from new_ent_crawler_spark.sources import sitemap as SM
+    entries = spark.createDataFrame(
+        [("url", "https://h/p", None, None, 0.2, "a.xml"),
+         ("url", "https://h/p", None, None, 0.8, "b.xml"),
+         ("url", "https://h/q", None, None, None, "a.xml")],
+        "kind string, url string, lastmod string, changefreq string, "
+        "priority double, source_file string")
+    seeds = {r["seed_url"]: r for r in
+             SM.seeds_from_sitemap(entries, default_priority=1).collect()}
+    assert len(seeds) == 2  # one row per url, never a double-seed
+    assert seeds["https://h/p"]["priority"] == 2  # max priority wins
+    assert seeds["https://h/q"]["priority"] == 2  # spec default 0.5
+
+
+def test_robots_sitemap_directive_crlf_and_comments(spark):
+    from new_ent_crawler_spark.sources.sitemap import robots_sitemap_urls
+    body = ("User-agent: *\r\nSitemap: https://h/s.xml\r\n"
+            "Sitemap: https://h/t.xml # primary\r\n")
+    got = spark.createDataFrame([(body,)], "robots string").select(
+        robots_sitemap_urls("robots")).collect()[0][0]
+    assert got == ["https://h/s.xml", "https://h/t.xml"]

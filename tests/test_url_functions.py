@@ -74,3 +74,13 @@ def test_canonicalize_stays_jvm_side(spark):
     txt = df.select(U.canonicalize_url("url"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in txt and "BatchEval" not in txt
+
+
+def test_userinfo_stripped_from_host_and_surt(spark):
+    df = spark.createDataFrame(
+        [("https://user:pw@Example.COM:443/x?b=2&a=1",)], "url string")
+    row = df.select(U.url_host("url").alias("h"),
+                    U.surt_key("url").alias("s")).collect()[0]
+    # credentials must not split politeness buckets or dodge robots lookups
+    assert row["h"] == "example.com"
+    assert row["s"] == "com,example)/x?a=1&b=2"
