@@ -121,7 +121,11 @@ def _emit(final: bool = True) -> None:
     print(line, flush=True)
     try:  # belt-and-braces copy for forensics
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH", "last_line.json"), "w") as f:
+        # overridable so test subprocesses never clobber the real artifact
+        path = os.environ.get(
+            "BENCH_LAST_LINE_PATH",
+            os.path.join(here, "BENCH", "last_line.json"))
+        with open(path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass
