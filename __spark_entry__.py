@@ -1180,6 +1180,63 @@ def _q_recrawl_schedule(spark, sf):
         "is_due")
 
 
+def _q_registered_domain(spark, sf):
+    """Public-suffix registered-domain extraction (publicsuffix.org
+    algorithm: exception > longest normal/wildcard rule > implicit ``*``)
+    over hosts synthesized to hit every rule shape — multi-label suffixes
+    (co.uk), wildcard (``*.kawasaki.jp``, ``*.ck``), exceptions
+    (``!city.kawasaki.jp``, ``!www.ck``), private-section rules
+    (github.io), unknown TLDs, and hosts that ARE a public suffix (NULL
+    registered domain).  Plan: explode trailing label suffixes +
+    broadcast rules dim + per-host argmax (functions/psl.py) — no Python.
+    The reference never needs this (single registry domain); an open-web
+    politeness/link-graph bucket does."""
+    from new_ent_crawler_spark.functions import psl
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    host = (
+        F.when(eid % 9 == 0, F.lit("www.example.com"))
+        .when(eid % 9 == 1, F.lit("a.b.example.co.uk"))
+        .when(eid % 9 == 2, F.lit("co.uk"))
+        .when(eid % 9 == 3, F.concat(F.lit("x"), (eid % 5).cast("string"),
+                                     F.lit(".kawasaki.jp")))
+        .when(eid % 9 == 4, F.lit("city.kawasaki.jp"))
+        .when(eid % 9 == 5, F.concat(F.lit("shop"), (eid % 3).cast("string"),
+                                     F.lit(".other.ck")))
+        .when(eid % 9 == 6, F.lit("www.ck"))
+        .when(eid % 9 == 7, F.concat(F.lit("u"), (eid % 4).cast("string"),
+                                     F.lit(".github.io")))
+        .otherwise(F.concat(F.lit("site"), (eid % 7).cast("string"),
+                            F.lit(".nosuchtld"))))
+    hosts = ev.select(host.alias("host")).groupBy("host") \
+        .agg(F.count("*").alias("n_urls"))
+    return psl.with_registered_domain(hosts).select(
+        "host", "public_suffix", "registered_domain", "n_urls")
+
+
+def _q_cdx_index(spark, sf):
+    """CDX index rows (SURT, 14-digit timestamp, url, sha-256 digest,
+    length) — the Common-Crawl per-segment URL index — built from URLs
+    synthesized over events with the event's payload standing in for the
+    page body.  Pure JVM expressions end to end (sources/cdx.py); the
+    stored form is range-partitioned by SURT so prefix lookups prune
+    (tests/test_cdx_psl_warcsink.py)."""
+    from new_ent_crawler_spark.sources.cdx import build_cdx
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.lit("https://h"), (eid % 5).cast("string"),
+        F.lit(".site"), (eid % 3).cast("string"),
+        F.lit(".example.com/p/"), (eid % 13).cast("string"),
+        F.when(eid % 4 == 0, F.lit("?b=2&a=1"))
+        .when(eid % 4 == 1, F.lit("?a=1&b=2")).otherwise(F.lit("")))
+    pages = ev.select("event_id", url.alias("url"),
+                      F.col("ts").alias("warc_ts"),
+                      F.col("props").alias("body"))
+    return build_cdx(pages, body_col="body", utc_from_tz=None,
+                     keep_cols=["event_id"])
+
+
 def _q_url_canonicalize(spark, sf):
     """Canonicalize messy raw URLs (case, default ports, query-param order,
     fragments, empty paths) into the seen-set/frontier key form — the
@@ -1272,9 +1329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _q_approx_distinct,
         # oracled since r04 (md5-byte stand-in feature replicated in SQL)
         "multimodal_features": _q_multimodal_features,
+        "registered_domain": _q_registered_domain,
+        "cdx_index": _q_cdx_index,
         # -- r03-green headline fill to 50 ----------------------------------
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
         "frontier_topk_per_host": _q_frontier_topk_per_host,
         "wave_priority_dequeue": _q_wave_priority_dequeue,
         "dedup_last_writer_wins": _q_dedup_last_writer_wins,
@@ -1296,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": _q_asof_click_purchase,
         # -- green in r03; behind the 50-row window, re-verified every run
         #    by tests/test_queries.py ----------------------------------------
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_exact": _q_dedup_exact,
@@ -1444,6 +1503,63 @@ def _pagerank_oracle(damping: float = 0.85, iterations: int = 3) -> str:
                        GROUP BY e.dst) inc ON nd.node = inc.node)"""
     return sql + f"""
         SELECT node, ROUND(rank, 6) AS pr FROM r{iterations}"""
+
+
+def _psl_oracle() -> str:
+    """DuckDB mirror of functions/psl.py: same built-in rules inlined as a
+    VALUES list, same exception > longest normal/wildcard > implicit-*
+    resolution, over the same synthesized hosts."""
+    from new_ent_crawler_spark.functions.psl import parse_rules
+    values = ", ".join(
+        f"('{k}', {n}, {str(w).lower()}, {str(e).lower()})"
+        for k, n, w, e in parse_rules())
+    return """
+        WITH ev AS (
+            SELECT CASE CAST(event_id % 9 AS INT)
+                WHEN 0 THEN 'www.example.com'
+                WHEN 1 THEN 'a.b.example.co.uk'
+                WHEN 2 THEN 'co.uk'
+                WHEN 3 THEN 'x' || CAST(event_id % 5 AS VARCHAR)
+                             || '.kawasaki.jp'
+                WHEN 4 THEN 'city.kawasaki.jp'
+                WHEN 5 THEN 'shop' || CAST(event_id % 3 AS VARCHAR)
+                             || '.other.ck'
+                WHEN 6 THEN 'www.ck'
+                WHEN 7 THEN 'u' || CAST(event_id % 4 AS VARCHAR)
+                             || '.github.io'
+                ELSE 'site' || CAST(event_id % 7 AS VARCHAR)
+                     || '.nosuchtld' END AS host
+            FROM events),
+        hosts AS (SELECT host, count(*) AS n_urls FROM ev GROUP BY host),
+        lab AS (SELECT host, n_urls, string_split(host, '.') AS ls,
+                       len(string_split(host, '.')) AS nl
+                FROM hosts),
+        cand AS (SELECT l.host, l.nl, g.k,
+                        array_to_string(l.ls[l.nl - g.k + 1 : l.nl],
+                                        '.') AS suf
+                 FROM lab l,
+                      (SELECT unnest(generate_series(1, 4)) AS k) g
+                 WHERE g.k <= l.nl),
+        rules(key, keyn, is_wild, is_exc) AS (VALUES __RULES__),
+        m AS (SELECT c.host, c.nl, r.keyn, r.is_wild, r.is_exc
+              FROM cand c JOIN rules r ON c.suf = r.key),
+        agg AS (SELECT host,
+                    max(CASE WHEN is_exc THEN keyn - 1 END) AS exc_ps,
+                    max(CASE WHEN NOT is_exc AND NOT is_wild THEN keyn
+                             WHEN NOT is_exc AND is_wild
+                                  AND nl >= keyn + 1 THEN keyn + 1
+                        END) AS norm_ps
+                FROM m GROUP BY host)
+        SELECT l.host,
+               array_to_string(l.ls[l.nl - ps + 1 : l.nl], '.')
+                   AS public_suffix,
+               CASE WHEN l.nl > ps
+                    THEN array_to_string(l.ls[l.nl - ps : l.nl], '.')
+               END AS registered_domain,
+               l.n_urls
+        FROM (SELECT l.*, COALESCE(a.exc_ps, a.norm_ps, 1) AS ps
+              FROM lab l LEFT JOIN agg a USING (host)) l
+    """.replace("__RULES__", values)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2552,6 +2668,30 @@ def oracle_sql() -> dict[str, str]:
                             list_sort(string_split(qbody, '&')), '&') END)
                 END AS surt
             FROM parts
+        """,
+        "registered_domain": _psl_oracle(),
+        "cdx_index": """
+            WITH pages AS (
+                SELECT event_id,
+                    'https://h' || CAST(event_id % 5 AS VARCHAR)
+                    || '.site' || CAST(event_id % 3 AS VARCHAR)
+                    || '.example.com/p/' || CAST(event_id % 13 AS VARCHAR)
+                    || (CASE CAST(event_id % 4 AS INT)
+                        WHEN 0 THEN '?b=2&a=1'
+                        WHEN 1 THEN '?a=1&b=2' ELSE '' END) AS url,
+                    ts, props AS body
+                FROM events)
+            SELECT event_id,
+                'com,example,site' || CAST(event_id % 3 AS VARCHAR)
+                || ',h' || CAST(event_id % 5 AS VARCHAR)
+                || ')/p/' || CAST(event_id % 13 AS VARCHAR)
+                || (CASE WHEN event_id % 4 IN (0, 1)
+                    THEN '?a=1&b=2' ELSE '' END) AS surt,
+                strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                url,
+                sha256(body) AS digest,
+                CAST(length(body) AS BIGINT) AS length
+            FROM pages
         """,
         "link_pagerank": _pagerank_oracle(damping=0.85, iterations=3),
         "link_degree_stats": "WITH" + _LINK_EDGES_SQL + """,
