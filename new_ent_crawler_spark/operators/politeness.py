@@ -119,6 +119,37 @@ def spend_and_refill_pd(budgets_pdf, used: dict, blocked=frozenset()):
     return out
 
 
+def domain_budgets(robots: DataFrame, per_wave_k: int,
+                   capacity: int | None = None,
+                   rules: list[str] | None = None) -> tuple[DataFrame,
+                                                            DataFrame]:
+    """Open-web variant of :func:`init_budgets`: ONE shared token bucket
+    per publicsuffix.org *registered domain*, so a site cannot multiply
+    its politeness budget by fanning out subdomains (``a.example.com``,
+    ``b.example.com``, … all draw from ``example.com``'s bucket).  The
+    reference never hits this (single registry domain); an open crawl
+    does on its first blog/CDN host.
+
+    Returns ``(budgets, host_map)``: budgets keyed by ``host`` =
+    registered domain (drop-in for the per-host budget API), and a
+    (host, bucket) map for re-keying frontier rows before the grant
+    join.  The most-restrictive (max) crawl_delay among a domain's
+    hosts wins — a conservative merge, matching how polite crawlers
+    treat conflicting per-host robots.  Hosts with no registrable
+    domain (bare public suffixes, IPs) keep their own bucket.
+    """
+    from new_ent_crawler_spark.functions.psl import with_registered_domain
+    keyed = with_registered_domain(
+        robots.select("host", "crawl_delay"), rules=rules)
+    host_map = keyed.select(
+        "host",
+        F.coalesce("registered_domain", "host").alias("bucket"))
+    merged = (keyed
+              .groupBy(F.coalesce("registered_domain", "host").alias("host"))
+              .agg(F.max("crawl_delay").alias("crawl_delay")))
+    return init_budgets(merged, per_wave_k, capacity), host_map
+
+
 def robots_allowed(df: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop URLs whose path matches a disallow prefix for their host.
     Broadcast join — the rules table is tiny next to the candidate stream."""

@@ -73,6 +73,27 @@ def test_rules_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_domain_budgets_share_bucket(spark):
+    """Open-web politeness: subdomains of one registered domain share one
+    token bucket; the most-restrictive crawl_delay wins; a bare public
+    suffix keeps its own bucket."""
+    from new_ent_crawler_spark.operators.politeness import domain_budgets
+    robots = spark.createDataFrame(
+        [("a.example.com", 1.0), ("b.example.com", 4.0),
+         ("example.com", 2.0), ("co.uk", 1.0)],
+        "host string, crawl_delay double")
+    budgets, host_map = domain_budgets(robots, per_wave_k=8)
+    b = {r["host"]: r for r in budgets.collect()}
+    assert set(b) == {"example.com", "co.uk"}
+    # max(1,4,2)=4 → refill 8/4=2; bare suffix keeps its own: 8/1=8
+    assert b["example.com"]["refill_rate"] == 2.0
+    assert b["co.uk"]["refill_rate"] == 8.0
+    m = {r["host"]: r["bucket"] for r in host_map.collect()}
+    assert m == {"a.example.com": "example.com",
+                 "b.example.com": "example.com",
+                 "example.com": "example.com", "co.uk": "co.uk"}
+
+
 # ---------------------------------------------------------------------------
 # CDX index
 # ---------------------------------------------------------------------------
