@@ -1237,6 +1237,37 @@ def _q_cdx_index(spark, sf):
                      keep_cols=["event_id"])
 
 
+def _q_cdx_revisit(spark, sf):
+    """WARC revisit-record classification (ISO 28500 §6.7.2 / Common
+    Crawl dedup): each recrawl capture is ``new`` (url never captured),
+    ``revisit`` (payload digest equals the url's latest previous
+    capture — store a reference, not a body copy), or ``changed``.  Two
+    index generations are synthesized from events: the previous crawl
+    covers url keys k=0-29 with body ``A<k>``; the recrawl covers keys
+    0-39, each capture keeping body ``A<k>`` iff its event_id%3==0.
+    Expected per capture: k>=30 → new; event_id%3==0 and k<30 → revisit;
+    else changed (sources/cdx.py::classify_revisits, one max-aggregate +
+    one url join, no window sort)."""
+    from new_ent_crawler_spark.sources.cdx import build_cdx, classify_revisits
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    k = (eid % 40).cast("string")
+    url = F.concat(F.lit("https://s"), (eid % 3).cast("string"),
+                   F.lit(".example.com/p/"), k)
+    prev_pages = ev.where(eid % 40 < 30).select(
+        url.alias("url"), F.col("ts").alias("warc_ts"),
+        F.concat(F.lit("A"), k).alias("body"))
+    new_pages = ev.select(
+        "event_id", url.alias("url"), F.col("ts").alias("warc_ts"),
+        F.when(eid % 3 == 0, F.concat(F.lit("A"), k))
+        .otherwise(F.concat(F.lit("B"), k)).alias("body"))
+    prev_cdx = build_cdx(prev_pages, body_col="body", utc_from_tz=None)
+    new_cdx = build_cdx(new_pages, body_col="body", utc_from_tz=None,
+                        keep_cols=["event_id"])
+    return classify_revisits(new_cdx, prev_cdx).select(
+        "event_id", "url", "digest", "status", "prev_ts14")
+
+
 def _q_url_canonicalize(spark, sf):
     """Canonicalize messy raw URLs (case, default ports, query-param order,
     fragments, empty paths) into the seen-set/frontier key form — the
@@ -1331,8 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "registered_domain": _q_registered_domain,
         "cdx_index": _q_cdx_index,
+        "cdx_revisit": _q_cdx_revisit,
         # -- r03-green headline fill to 50 ----------------------------------
-        "frontier_topk_per_host": _q_frontier_topk_per_host,
         "wave_priority_dequeue": _q_wave_priority_dequeue,
         "dedup_last_writer_wins": _q_dedup_last_writer_wins,
         "seen_set_anti_join": _q_seen_set_anti_join,
@@ -1355,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    by tests/test_queries.py ----------------------------------------
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "frontier_topk_per_host": _q_frontier_topk_per_host,
         "tpch_q5ish": _q_tpch_q5ish,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dedup_exact": _q_dedup_exact,
@@ -2670,6 +2702,37 @@ def oracle_sql() -> dict[str, str]:
             FROM parts
         """,
         "registered_domain": _psl_oracle(),
+        "cdx_revisit": """
+            WITH base AS (
+                SELECT event_id, ts,
+                    CAST(event_id % 40 AS VARCHAR) AS k,
+                    event_id % 40 AS kn,
+                    'https://s' || CAST(event_id % 3 AS VARCHAR)
+                    || '.example.com/p/'
+                    || CAST(event_id % 40 AS VARCHAR) AS url
+                FROM events),
+            prev AS (
+                SELECT url,
+                    strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+                    sha256('A' || k) AS digest
+                FROM base WHERE kn < 30),
+            prev_latest AS (
+                SELECT url, max(ts14 || '|' || digest) AS td
+                FROM prev GROUP BY url),
+            newcap AS (
+                SELECT event_id, url,
+                    sha256(CASE WHEN event_id % 3 = 0
+                           THEN 'A' || k ELSE 'B' || k END) AS digest
+                FROM base)
+            SELECT n.event_id, n.url, n.digest,
+                CASE WHEN p.td IS NULL THEN 'new'
+                     WHEN n.digest = string_split(p.td, '|')[2]
+                     THEN 'revisit' ELSE 'changed' END AS status,
+                CASE WHEN p.td IS NOT NULL
+                          AND n.digest = string_split(p.td, '|')[2]
+                     THEN string_split(p.td, '|')[1] END AS prev_ts14
+            FROM newcap n LEFT JOIN prev_latest p USING (url)
+        """,
         "cdx_index": """
             WITH pages AS (
                 SELECT event_id,

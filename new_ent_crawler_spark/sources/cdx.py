@@ -79,6 +79,40 @@ def cdx_prefix_lookup(cdx: DataFrame, surt_prefix: str) -> DataFrame:
     return cdx.where(F.col("surt").startswith(surt_prefix))
 
 
+def classify_revisits(new_cdx: DataFrame, prev_cdx: DataFrame) -> DataFrame:
+    """Classify a recrawl's captures against the previous index — the
+    WARC ``revisit`` record decision (ISO 28500 §6.7.2: a capture whose
+    payload digest equals an earlier capture's is stored as a reference,
+    not a second body copy; Common Crawl's dedup works exactly this way).
+
+    Per new capture: ``new`` (url never seen), ``revisit`` (digest equals
+    the url's LATEST previous capture), or ``changed``.  "Latest" is the
+    max (ts14, digest) pair — encoded as one string since ts14 is
+    fixed-width, so one map-side-combinable ``max`` replaces a window
+    sort.  Output adds ``status`` and ``prev_ts14`` (the referenced
+    capture for revisit records).
+
+    Scale shape: one hash aggregate over the previous index + one join
+    on url; both sides are CDX-sorted on SURT, so at 100 TB the prev
+    aggregate reads only (url, ts14, digest) columns and AQE picks the
+    join strategy (the previous-latest dim is |urls|, not |captures|).
+    """
+    latest = prev_cdx.groupBy("url").agg(
+        F.max(F.concat("ts14", F.lit("|"), "digest")).alias("_td"))
+    prev = latest.select(
+        "url",
+        F.substring_index("_td", "|", 1).alias("prev_ts14"),
+        F.substring_index("_td", "|", -1).alias("_prev_digest"))
+    out = new_cdx.join(prev, "url", "left")
+    status = (F.when(F.col("_prev_digest").isNull(), "new")
+              .when(F.col("digest") == F.col("_prev_digest"), "revisit")
+              .otherwise("changed"))
+    return out.withColumn("status", status) \
+        .withColumn("prev_ts14",
+                    F.when(status == "revisit", F.col("prev_ts14"))) \
+        .drop("_prev_digest")
+
+
 def to_cdxj_lines(cdx: DataFrame) -> DataFrame:
     """Render the classic one-line-per-capture CDXJ text form (a single
     ``value`` string column, writable with ``df.write.text``)."""

@@ -148,6 +148,28 @@ def test_cdx_write_sorted_and_prefix_pruned(spark, pages_df, tmp_path):
         assert hi <= lo
 
 
+def test_classify_revisits(spark):
+    """new / revisit / changed per capture; prev_ts14 references the
+    LATEST previous capture and only on revisit rows."""
+    prev = spark.createDataFrame(
+        [("u1", "20260101000000", "d1"),
+         ("u1", "20260102000000", "d2"),   # latest u1 capture
+         ("u2", "20260101000000", "dx")],
+        "url string, ts14 string, digest string")
+    new = spark.createDataFrame(
+        [("u1", "20260301000000", "d2"),   # == latest prev -> revisit
+         ("u1", "20260301000001", "d1"),   # == OLDER prev -> changed
+         ("u2", "20260301000000", "dy"),   # differs -> changed
+         ("u3", "20260301000000", "dz")],  # never seen -> new
+        "url string, ts14 string, digest string")
+    got = {(r["url"], r["ts14"]): (r["status"], r["prev_ts14"])
+           for r in cdxmod.classify_revisits(new, prev).collect()}
+    assert got[("u1", "20260301000000")] == ("revisit", "20260102000000")
+    assert got[("u1", "20260301000001")] == ("changed", None)
+    assert got[("u2", "20260301000000")] == ("changed", None)
+    assert got[("u3", "20260301000000")] == ("new", None)
+
+
 def test_cdxj_lines_render(spark, pages_df):
     line = cdxmod.to_cdxj_lines(cdxmod.build_cdx(pages_df)) \
         .orderBy("value").first()["value"]
