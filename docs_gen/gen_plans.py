@@ -95,6 +95,22 @@ add("PageRank: one power iteration (pre-checkpoint)",
     "iteration cost is one E-side join + one V-sized shuffle; AQE turns "
     "the rank join into a broadcast when V fits.")
 
+add("Registered domain (PSL): suffix explode + broadcast rules + argmax",
+    qs["registered_domain"](spark, sf),
+    "The publicsuffix rules dim joins as a BroadcastHashJoin against the "
+    "exploded trailing-suffix candidates (≤ max-rule-depth per host), so "
+    "the only real exchange is the per-host argmax aggregate — sized "
+    "|distinct hosts|, never |pages|. The join-back to the input is left "
+    "to AQE: broadcast at test scale, shuffled hash join at 10^8 hosts.")
+
+add("CDX revisit classification: max-aggregate, no window sort",
+    qs["cdx_revisit"](spark, sf),
+    "Latest-previous-capture is ONE map-side-combinable max over the "
+    "fixed-width ts14||'|'||digest string — a partial HashAggregate "
+    "before the exchange, where a window row_number would force a full "
+    "sort of every historical capture. The classify join is sized "
+    "|urls|, not |captures|.")
+
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# PLANS — physical-plan review of the core operators\n\n"
             "`explain(formatted)` output (sf0.01 inputs) with the design "

@@ -94,8 +94,12 @@ def with_registered_domain(df: DataFrame, host_col: str = "host",
 
     hosts = df.select(F.col(host_col).alias("_h")).where(
         F.col("_h").isNotNull() & (F.col("_h") != "")).distinct()
+    # normalize the matching key the way the PSL spec expects hostnames:
+    # case-insensitive labels, FQDN trailing dot ignored (the output
+    # public_suffix/registered_domain columns are in normalized form)
+    norm = F.lower(F.regexp_replace("_h", r"\.+$", ""))
     lab = hosts.select(
-        "_h", F.split("_h", r"\.").alias("ls")
+        "_h", F.split(norm, r"\.").alias("ls")
     ).select("_h", "ls", F.size("ls").alias("n"))
 
     # trailing k-label suffix strings, k = 1..min(n, k_max); slice() with a

@@ -169,7 +169,10 @@ def write_warc_df(pages: DataFrame, out_dir: str,
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"segment-{pid:05d}{ext}")
         n, raw_bytes = 0, 0
-        opener = gzip.open if compress else open
+        # level 6: gzip's default speed/ratio tradeoff; stdlib gzip.open
+        # defaults to 9, which costs ~2x cpu for ~1% on html
+        opener = ((lambda p, m: gzip.open(p, m, compresslevel=6))
+                  if compress else open)
         sink = None
         for pdf in batches:
             if len(pdf) and sink is None:

@@ -55,6 +55,15 @@ def test_registered_domain_cases(spark):
         assert got[host] == (ps, rd), host
 
 
+def test_registered_domain_normalizes_case_and_fqdn_dot(spark):
+    df = spark.createDataFrame(
+        [("WWW.Example.COM",), ("example.co.uk.",)], "host string")
+    got = {r["host"]: r["registered_domain"]
+           for r in psl.with_registered_domain(df).collect()}
+    assert got == {"WWW.Example.COM": "example.com",
+                   "example.co.uk.": "example.co.uk"}
+
+
 def test_registered_domain_preserves_rows_and_nulls(spark):
     df = spark.createDataFrame(
         [("a.com", 1), (None, 2), ("", 3), ("a.com", 4)],
