@@ -536,6 +536,12 @@ def _leg_main(spec: dict) -> None:
                             repeats=spec.get("repeats", 1),
                             loops=spec.get("loops"),
                             min_leg_seconds=spec.get("min_leg", 30.0))
+    elif spec["kind"] == "queries":
+        spark = _quiet(get_spark(app="bench-queries", cpus=spec["cpus"]))
+        t0 = time.perf_counter()
+        qtimes = run_queries(spark, spec["sf_dir"])
+        d = {"value": round(time.perf_counter() - t0, 3), "queries": qtimes}
+        spark.stop()
     else:
         d = run_crawl(spec["cpus"], spec["web"], spec["work"], spec["tag"])
     print("LEGRESULT " + json.dumps(d), flush=True)
@@ -640,11 +646,25 @@ def main():
 
     _wait_for_own_quiet(float(os.environ.get("BENCH_WAIT_QUIET_S", "240")))
 
-    spark = _quiet(get_spark(app="bench-queries", cpus=cpus))
-    t0 = time.perf_counter()
-    qtimes = run_queries(spark, sf_dir)
-    total = round(time.perf_counter() - t0, 3)
-    spark.stop()
+    # the query suite runs in a SUBPROCESS so its 32-thread JVM (48g heap,
+    # GC/JIT pools sized to the whole box) is fully gone before the pinned
+    # scaling legs start — spark.stop() alone leaves the py4j gateway JVM
+    # alive in the parent for the rest of the run (observed squatting on
+    # the box through the entire crawl phase of the run-9 campaign)
+    q = None
+    if os.environ.get("BENCH_QUERIES_SUBPROC", "1") == "1":
+        q = _run_leg({"kind": "queries", "cpus": cpus, "sf_dir": sf_dir,
+                      "tag": "queries"},
+                     timeout=max(600.0, _remaining() / 2))
+    if q is None:
+        # never lose the whole artifact to a query-suite crash: fall back
+        # to running it inline (the legacy path)
+        spark = _quiet(get_spark(app="bench-queries", cpus=cpus))
+        t0 = time.perf_counter()
+        qtimes = run_queries(spark, sf_dir)
+        q = {"value": round(time.perf_counter() - t0, 3), "queries": qtimes}
+        spark.stop()
+    total, qtimes = q["value"], q["queries"]
     _log(f"query suite done: {total}s")
 
     _STATE.update({"metric": "suite_seconds", "value": total, "unit": "sec",

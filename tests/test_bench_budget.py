@@ -185,6 +185,7 @@ def test_sigterm_mid_run_still_emits_parseable_line():
         import os, sys, time
         os.environ["BENCH_WAIT_QUIET_S"] = "0"  # pytest itself is running
         os.environ["BENCH_LAST_LINE_PATH"] = os.devnull  # keep the real artifact
+        os.environ["BENCH_QUERIES_SUBPROC"] = "0"  # fakes below need inline
         sys.path.insert(0, %r)
         import bench
         bench.run_queries = lambda spark, sf_dir: {"fake_q": 0.5}
