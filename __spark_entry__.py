@@ -311,10 +311,15 @@ _BANDS = 3
 def _q_minhash_signatures(spark, sf):
     """Portable minhash: per doc, min md5(seed:shingle) hex string per seed
     (md5 is the hash both engines share)."""
-    sh = DT.shingles(_t(spark, sf, "documents"), k=_SHINGLE_K)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
-            .alias(f"h{i}") for i in range(_MINHASHES)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    arrs = DT.shingle_arrays(_t(spark, sf, "documents"), k=_SHINGLE_K)
+    # in-row array_min over the per-doc shingle array: identical result to
+    # min() over the exploded relation (both lexicographic string min) with
+    # zero shuffles — see DT.minhash_signatures
+    return arrs.select(
+        "doc_id",
+        *[F.array_min(F.transform(
+            "shs", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+          .alias(f"h{i}") for i in range(_MINHASHES)])
 
 
 def _q_minhash_lsh_pairs(spark, sf):

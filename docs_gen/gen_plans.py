@@ -58,9 +58,19 @@ add("As-of join: union + window, single exchange, no join operator",
 
 add("ngram-jaccard candidates: posting-list buckets",
     qs["ngram_jaccard_pairs"](spark, sf),
-    "One shuffle groups shingles into posting lists; the pair explosion is "
-    "local per bucket and bounded by max_shingle_freq^2; frequent shingles "
-    "are dropped before any pair is generated.")
+    "Per-doc distinct shingles are built IN-ROW (transform + "
+    "array_distinct), so the per-character exploded relation never hits an "
+    "exchange and doc sizes are a free F.size. One shuffle groups shingles "
+    "into posting lists; the pair explosion is local per bucket and "
+    "bounded by max_shingle_freq^2; frequent shingles are dropped before "
+    "any pair is generated.")
+
+add("MinHash signatures: zero-shuffle in-row array_min",
+    qs["minhash_signatures"](spark, sf),
+    "Each signature column is array_min(transform(shs, md5...)) over the "
+    "in-row shingle array — no groupBy: min() over the exploded relation "
+    "would shuffle one row per (doc, shingle) only to re-group what was "
+    "already row-local. The whole signature stage is narrow.")
 
 add("Salted skew join == plain join",
     qs["salted_skew_join"](spark, sf),

@@ -5,12 +5,14 @@ Four strategies over ``documents(doc_id, text, ...)``, each shaped for the
 
 * exact        — hash-groupBy on a normalized content digest (one shuffle,
                  map-side partial agg).
-* ngram-jaccard— character-shingle explode → shingle-join → group: the
-                 classic O(pairs-sharing-a-shingle) candidate join, pruned by
-                 frequent-shingle removal.
-* minhash-LSH  — shingle → K minhashes → band buckets → bucket self-join;
-                 only same-bucket pairs are compared, so the join blows up
-                 with collisions, not n².
+* ngram-jaccard— in-row distinct shingle arrays → posting-list shuffle →
+                 bucket-local pairing: the classic O(pairs-sharing-a-
+                 shingle) candidate join, pruned by frequent-shingle
+                 removal; the per-character exploded relation never
+                 reaches an exchange.
+* minhash-LSH  — in-row K minhashes (array_min, zero shuffles) → band
+                 buckets → bucket self-join; only same-bucket pairs are
+                 compared, so the join blows up with collisions, not n².
 * simhash      — 60-bit majority-vote fingerprint (60, not 64, so the
                  DuckDB oracle can rebuild it from 15 md5 hex chars in a
                  signed BIGINT); near-dups = equal
@@ -41,50 +43,70 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
                  F.count("*").alias("n_copies")))
 
 
-def shingles(docs: DataFrame, id_col="doc_id", text_col="text",
-             k: int = 8) -> DataFrame:
-    """Distinct character k-shingles per document (explode over positions)."""
+def shingle_arrays(docs: DataFrame, id_col="doc_id", text_col="text",
+                   k: int = 8) -> DataFrame:
+    """(doc_id, shs: array<string>) — each document's DISTINCT character
+    k-shingles computed entirely in-row (``transform`` over positions +
+    ``array_distinct``), so shingle generation is a NARROW plan: the
+    per-position exploded relation — by far the largest intermediate in the
+    dedup family (one row per character of the corpus) — never exists, the
+    per-doc dedup costs no exchange, and per-doc shingle counts are a free
+    ``F.size`` instead of a count shuffle."""
     norm = normalized_text(text_col)
     return (docs
             .select(F.col(id_col).alias("doc_id"), norm.alias("t"))
             .filter(F.length("t") >= k)
             .select("doc_id",
-                    F.explode(F.sequence(
-                        F.lit(1), F.length("t") - F.lit(k - 1))).alias("pos"),
-                    F.col("t"))
-            .select("doc_id",
-                    F.substring("t", F.col("pos").cast("int"), k)
-                    .alias("shingle"))
-            .distinct())
+                    F.array_distinct(F.transform(
+                        F.sequence(F.lit(1), F.length("t") - F.lit(k - 1)),
+                        lambda i: F.col("t").substr(i, F.lit(k))))
+                    .alias("shs")))
 
 
-def word_shingles(docs: DataFrame, id_col="doc_id", text_col="text",
-                  n: int = 3) -> DataFrame:
-    """Distinct word n-grams per document.  ~10-50x fewer rows than
-    character shingles on the same corpus (one row per word position
-    instead of per character position) — the cheap path when the dedup
-    granularity of whole-word phrases is acceptable."""
+def shingles(docs: DataFrame, id_col="doc_id", text_col="text",
+             k: int = 8) -> DataFrame:
+    """Distinct character k-shingles per document, one (doc_id, shingle)
+    row each — the exploded view of ``shingle_arrays`` (already deduped
+    in-row, so no distinct shuffle follows the explode)."""
+    return (shingle_arrays(docs, id_col, text_col, k)
+            .select("doc_id", F.explode("shs").alias("shingle")))
+
+
+def word_shingle_arrays(docs: DataFrame, id_col="doc_id", text_col="text",
+                        n: int = 3) -> DataFrame:
+    """(doc_id, shs) distinct word n-grams per document, in-row like
+    ``shingle_arrays``.  ~10-50x fewer shingles than character k-shingles
+    on the same corpus — the cheap path when whole-word phrase granularity
+    is acceptable."""
     toks = F.filter(F.split(normalized_text(text_col), " "),
                     lambda x: F.length(x) > 0)
     return (docs
             .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
             .filter(F.size("toks") >= n)
             .select("doc_id",
-                    F.explode(F.transform(
+                    F.array_distinct(F.transform(
                         F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
                         lambda i: F.concat_ws(" ", F.slice("toks", i, n))))
-                    .alias("shingle"))
-            .distinct())
+                    .alias("shs")))
 
 
-def jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
-                                max_shingle_freq: int) -> DataFrame:
-    """Posting-list Jaccard over any (doc_id, shingle) relation: ONE shuffle
-    by shingle builds the posting lists, pair counts come from a bucket-
-    local double-explode bounded by ``max_shingle_freq``^2, then sizes join
-    back.  Shared by the char-shingle and word-shingle entry points."""
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+def word_shingles(docs: DataFrame, id_col="doc_id", text_col="text",
+                  n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document (exploded view)."""
+    return (word_shingle_arrays(docs, id_col, text_col, n)
+            .select("doc_id", F.explode("shs").alias("shingle")))
+
+
+def jaccard_pairs_from_shingle_arrays(arrs: DataFrame, threshold: float,
+                                      max_shingle_freq: int) -> DataFrame:
+    """Posting-list Jaccard over (doc_id, shs array): per-doc sizes are a
+    free ``F.size`` (no count shuffle), ONE shuffle by shingle builds the
+    posting lists, pair counts come from the bucket-local double-explode
+    bounded by ``max_shingle_freq``^2, then sizes join back.  Shared by the
+    char-shingle and word-shingle entry points."""
+    arrs = arrs.persist()
+    sizes = arrs.select("doc_id", F.size("shs").alias("n_sh"))
+    sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     buckets = (sh.groupBy("shingle")
                .agg(F.collect_set("doc_id").alias("docs"))
                .filter((F.size("docs") >= 2)
@@ -112,8 +134,8 @@ def word_ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                              threshold: float = 0.5,
                              max_shingle_freq: int = 100) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-grams."""
-    return jaccard_pairs_from_shingles(word_shingles(docs, n=n),
-                                       threshold, max_shingle_freq)
+    return jaccard_pairs_from_shingle_arrays(word_shingle_arrays(docs, n=n),
+                                             threshold, max_shingle_freq)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
@@ -126,8 +148,8 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8,
     join) — the standard frequency cut, logged in the plan as a broadcast
     filter.
     """
-    return jaccard_pairs_from_shingles(shingles(docs, k=k),
-                                       threshold, max_shingle_freq)
+    return jaccard_pairs_from_shingle_arrays(shingle_arrays(docs, k=k),
+                                             threshold, max_shingle_freq)
 
 
 def _hash64(col, seed: int):
@@ -139,11 +161,17 @@ def _hash64(col, seed: int):
 
 def minhash_signatures(docs: DataFrame, k: int = 8,
                        num_hashes: int = 16) -> DataFrame:
-    """(doc_id, h0..h{n-1}) minhash signature via md5-salted min-hashes."""
-    sh = shingles(docs, k=k)
-    aggs = [F.min(_hash64(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """(doc_id, h0..h{n-1}) minhash signature via md5-salted min-hashes.
+
+    Computed entirely in-row from the per-doc shingle array
+    (``array_min`` over a ``transform``) — the signature step needs NO
+    shuffle at all; ``F.min`` over an exploded relation would shuffle one
+    row per (doc, shingle) just to re-group what was already row-local."""
+    arrs = shingle_arrays(docs, k=k)
+    return arrs.select(
+        "doc_id",
+        *[F.array_min(F.transform("shs", lambda s: _hash64(s, i)))
+          .alias(f"h{i}") for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
