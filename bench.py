@@ -15,18 +15,27 @@ SIGTERM/SIGINT handler, or (c) atexit on an unexpected exception — so a
 driver timeout kill still yields a parseable artifact with everything
 measured up to the kill.  An overall wall-clock budget
 (BENCH_BUDGET_SECONDS) stops sampling before the driver's timeout fires in
-the first place: the loop never starts a round it cannot expect to finish.
+the first place: the scheduler never starts a leg it cannot expect to
+finish (see _spread_legs for the sampling design).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR    default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS      default 32
   BENCH_BUDGET_SECONDS  default 2100 — overall wall-clock budget
   BENCH_CRAWL_COMPANIES default 4480 (synthetic web size for the crawl
-                        bench — sized so TWO full pinned 1v4 rounds fit
-                        the budget; see BENCH/BASELINE.md §1.4)
-  BENCH_CRAWL_REPEATS   default 3 (max interleaved rounds per leg pair;
-                        the stability rule usually stops at 2)
-  BENCH_PARSE_REPEATS   default 3 (same, for the parse-kernel legs)
+                        bench — sized so the spread schedule fits the
+                        budget; see BENCH/BASELINE.md §1.4)
+  BENCH_CRAWL_N_SAMPLES default 1 — 1-core crawl legs.  The pinned 1-core
+                        leg repeated within 1.5% across every campaign
+                        run regardless of host state (the co-tenant
+                        bandwidth cap binds only multi-core legs), so a
+                        second N sample buys nothing while its ~520 s
+                        wall buys two more gate-sensitive 4N samples.
+  BENCH_PARSE_N_SAMPLES default 1 (same reasoning, parse kernel)
+  BENCH_CRAWL_4N_CAP    default 8 — max 4-core crawl legs; on a normal
+                        run the budget, not the cap, ends sampling
+  BENCH_PARSE_4N_CAP    default 6 (same, parse kernel)
+  BENCH_P4N_SAMPLES     default 2 — in-child min-of-2 per parse 4N leg
   BENCH_PARSE_MIN_LEG   default 30 (seconds; calibrates parse-leg loops)
   BENCH_N_CORES         default 1 — small-leg cpu count (big leg is 4x)
   BENCH_PIN_LEGS        default 1: pin each leg subprocess to exactly N
@@ -257,7 +266,9 @@ def _tick_pcts(ticks0, ticks1) -> dict:
     BASELINE.md §1.1b): during lock-holder-preemption bursts the guest
     burns *kernel* time (sys%% 35-55) while user%% collapses, with steal
     in single digits.  A leg with sys >= user did essentially no useful
-    work for its wall-clock — the repeat loop treats it as contaminated."""
+    work for its wall-clock; the markers ride along in the artifact so a
+    contaminated leg is diagnosable after the fact (§1.4: the worst noise
+    is marker-INVISIBLE, which is why sampling is spread, not gated)."""
     if not (ticks0 and ticks1):
         return {}
     d = [b - a for a, b in zip(ticks0, ticks1)]
@@ -268,95 +279,74 @@ def _tick_pcts(ticks0, ticks1) -> dict:
             "sys_pct": round(100 * (d[2] + d[5] + d[6]) / tot, 1)}
 
 
-def _contaminated(leg: dict) -> bool:
-    """Gate-independent contamination rule (uses only host markers, never
-    the efficiency value): kernel-spin bursts (sys >= user), double-digit
-    steal, or heavy iowait mean the wall-clock measured the host, not the
-    engine."""
-    if "user_pct" not in leg:
-        return False
-    return (leg["sys_pct"] >= leg["user_pct"]
-            or leg.get("steal_pct", 0) >= 10
-            or leg.get("iowait_pct", 0) >= 10)
+def _spread_legs(schedule: list, runner, deadline: float,
+                 wall_defaults: dict, caps: dict | None = None,
+                 on_leg=None, topup_cycle: tuple = ()) -> dict:
+    """Temporal-spread sampling scheduler (round-4 final; replaces the
+    phase-sequential pair rounds).
 
+    Why (BENCH/BASELINE.md §1.4-1.5, campaign runs 3/5/8/9): the host's
+    marker-invisible contention windows (steal 0, sys << user, only
+    multi-core legs slowed) last 20-85+ minutes, so running each phase's
+    gate-sensitive 4N samples back to back concentrates them into exactly
+    the shape one window defeats — run 9's crawl-4N samples were all
+    inflated ~35% while the parse phase 15 minutes later was the cleanest
+    on record.  This scheduler interleaves the crawl and parse 4N legs
+    across the WHOLE multi-core span, so each phase's min-of-N spans the
+    union of both phases' wall clock; the pinned 1-core legs — which
+    repeated within 1.5% across every campaign run regardless of host
+    state — run once.  min-of-N converges toward uncontended capability
+    and can never pass it, so the redistribution only removes noise-caused
+    false failures.
 
-def _round_estimate(rn, r4, overhead_s: float) -> float | None:
-    """Expected cost of the NEXT round from the last round's legs: the sum
-    of their timed samples plus per-round overhead (subprocess + JVM spin,
-    warmups).  The raw wall of round 1 overstates round 2 — it carries
-    one-time costs (parse-loop calibration, first-child import warmup) —
-    and an overshoot makes the budget check refuse a round that fits."""
-    if rn is None or r4 is None:
-        return None  # a leg crashed: no basis for a tighter estimate
-    return sum(sum(d.get("samples", [d["seconds"]])) for d in (rn, r4)) \
-        + overhead_s
-
-
-def _interleaved_min(run_pair, max_repeats: int, deadline: float | None = None,
-                     on_round=None, overhead_s: float = 90.0,
-                     reserve_fn=None) -> dict:
-    """Interleaved min-of-N over two legs with two gate-independent
-    stopping rules:
-
-    * stability: stop when one more round improved NEITHER leg's min by >3%
-      (and that round was itself uncontaminated), with at least 2 rounds,
-      at most ``max_repeats`` — extended a little if a leg has not yet seen
-      ONE uncontaminated window per the host markers (never the efficiency
-      value);
-    * budget: before starting round r+1, stop if the wall-clock now plus
-      the measured cost of the last round would cross ``deadline``
-      (monotonic seconds since T0).  The first round always runs.
-
-    ``run_pair(r)`` returns (leg_n_dict, leg_4n_dict); ``on_round(runs)``
-    (if given) is called after every completed round so the caller can
-    checkpoint best-so-far results before the next (possibly killed) round.
+    Mechanics: legs run in ``schedule`` order (keys into ``runner``);
+    afterwards ``topup_cycle`` keys keep cycling while budget remains.
+    Before each leg the expected wall — the smallest parent-side wall of
+    completed same-key legs, else ``wall_defaults[key]`` — is checked
+    against ``deadline`` (seconds since T0); a leg that would cross it is
+    skipped, EXCEPT the first leg of each key, which always runs (no
+    ratio exists without it).  ``runner(key, i)`` returns the leg dict or
+    None (crash/leg-timeout — recorded, never retro-dropped).
+    ``on_leg(results, budget_skipped)`` is called after every completed
+    leg so best-so-far state survives a driver kill.  The returned dict
+    maps key -> list of leg dicts plus ``budget_stopped`` (True when a
+    SCHEDULED leg was skipped for budget; top-up exhaustion is the normal
+    end of a run, not a budget stop).
     """
-    runs = {"n": [], "4n": []}
-    hard_cap = max_repeats + 2
-    prev_mins = None
-    r = 0
-    while r < hard_cap:
-        rt0 = time.monotonic()
-        rn, r4 = run_pair(r)
-        round_cost = time.monotonic() - rt0
-        runs["n"].append(rn)
-        runs["4n"].append(r4)
-        r += 1
-        if on_round is not None:
-            on_round(runs)
-        # a None leg (crash/leg-timeout) counts as contaminated: keep
-        # sampling until each leg has one real, quiet measurement
-        both_clean_once = all(
-            any(d and not _contaminated(d) for d in runs[leg])
-            for leg in ("n", "4n"))
-        if r >= max_repeats and both_clean_once:
+    results: dict = {}
+    walls: dict[str, float] = {}
+    caps = caps or {}
+    state = {"budget_skipped": False}
+
+    def expected(key: str) -> float:
+        return walls.get(key, wall_defaults.get(key, 200.0))
+
+    def run_one(key: str, mark_skip: bool = True) -> bool:
+        done = results.setdefault(key, [])
+        if len(done) >= caps.get(key, 99):
+            return False
+        if done and _elapsed() + expected(key) > deadline:
+            if mark_skip:
+                state["budget_skipped"] = True
+                _log(f"budget skip {key}#{len(done)} "
+                     f"(~{expected(key):.0f}s leg, "
+                     f"{deadline - _elapsed():.0f}s left)")
+            return False
+        d = runner(key, len(done))
+        done.append(d)
+        if d and d.get("leg_wall_s"):
+            walls[key] = min(walls.get(key, 9e9), d["leg_wall_s"])
+        if on_leg is not None:
+            on_leg(results, state["budget_skipped"])
+        return True
+
+    for key in schedule:
+        run_one(key)
+    while topup_cycle:
+        if not any([run_one(k, mark_skip=False) for k in topup_cycle]):
             break
-        next_cost = _round_estimate(rn, r4, overhead_s) or round_cost
-        next_cost = min(next_cost, round_cost)  # never above observed wall
-        # keep room for the caller's post-loop top-up legs: under host
-        # noise a pair round gets MORE expensive exactly when extra
-        # gate-sensitive-leg samples matter most, so a full round must not
-        # be allowed to starve them (the r4 0.705 run: both 4N samples sat
-        # in one ~20-min slow window and the top-up had 166s < one leg)
-        reserve = reserve_fn(runs) if reserve_fn is not None else 0.0
-        if deadline is not None and _elapsed() + next_cost + reserve > deadline:
-            runs["budget_stopped"] = True
-            _log(f"budget stop after {r} rounds "
-                 f"(next round ~{next_cost:.0f}s, "
-                 f"{deadline - _elapsed():.0f}s left in phase)")
-            break
-        if not both_clean_once:
-            continue  # keep sampling until each leg saw a quiet window
-        mins = (min(d["seconds"] for d in runs["n"] if d),
-                min(d["seconds"] for d in runs["4n"] if d))
-        if r >= 2 and prev_mins is not None and \
-                rn is not None and r4 is not None and \
-                not _contaminated(rn) and not _contaminated(r4) and \
-                mins[0] > prev_mins[0] * 0.97 and \
-                mins[1] > prev_mins[1] * 0.97:
-            break
-        prev_mins = mins
-    return runs
+    results["budget_stopped"] = state["budget_skipped"]
+    return results
 
 
 def _warmup_web(scratch: str) -> str:
@@ -678,14 +668,14 @@ def main():
 
 def run_scaling(out: dict) -> None:
     # corpus sizing: ~146k pages at Common-Crawl-realistic 144 KB/page
-    # (~5.6 GB zstd).  Sized so TWO full pinned 1v4 rounds (min-of-2 per
-    # leg, the defense against co-tenant noise windows) fit inside the
-    # crawl phase's share of BENCH_BUDGET_SECONDS: pinned legs on the
-    # 209k-page corpus measured 620 s @1 / 171 s @4 = 0.904 but a round
-    # then costs ~920 s wall and only one fits.  Bigger corpora buy
-    # margin the budget can't afford — the r03 631k/24 GB corpus
-    # measured 0.837 at 2v8 but its full run overran the driver's wall
-    # clock (BENCH_r03.json rc 124).
+    # (~5.6 GB zstd).  Sized so the spread schedule — one pinned 1-core
+    # crawl leg + one parse-N leg + 3-4 alternating 4N legs of each kind
+    # (the defense against co-tenant noise windows, §1.4-1.5) — fits
+    # BENCH_BUDGET_SECONDS: pinned legs on the 209k-page corpus measured
+    # 620 s @1 / 171 s @4 = 0.904 but the 1-core leg alone then eats a
+    # third of the budget.  Bigger corpora buy margin the budget can't
+    # afford — the r03 631k/24 GB corpus measured 0.837 at 2v8 but its
+    # full run overran the driver's wall clock (BENCH_r03.json rc 124).
     companies = int(os.environ.get("BENCH_CRAWL_COMPANIES", "4480"))
     filler_kb = int(os.environ.get("BENCH_FILLER_KB", "144"))
     corpus_bytes = _est_corpus_bytes(companies, filler_kb)
@@ -733,189 +723,122 @@ def run_scaling(out: dict) -> None:
         with open(dpath, "w") as f:
             json.dump(detail, f, indent=1)
 
-    # Budget split: the crawl phase may run until enough is reserved for
-    # one parse round (calibration + one N-core and one 4N-core leg);
-    # the parse phase keeps a final-write reserve.  The sandbox host has
-    # time-varying CPU noise that can inflate one leg 1.5-3x WITHOUT
-    # tripping the steal/sys markers (r4 probe: back-to-back 8-core parse
-    # legs of 77.4 s and 49.0 s, both marker-clean), so legs are
-    # interleaved with min-of-N per leg (equal exposure for both legs;
-    # min estimates uncontended capability) and a stability stopping rule
-    # that never looks at the efficiency value (optional-stopping bias).
-    # a full parse round measured 447-450 s wall in both §1.5 validation
-    # runs; 470 leaves the crawl phase enough headroom to fire a 4N top-up
-    # leg on cached-corpus runs (the parse phase is additionally guarded by
-    # its own deadline and by first-round-always-runs)
-    parse_reserve = float(os.environ.get("BENCH_PARSE_RESERVE", "470"))
-    crawl_deadline = BUDGET - parse_reserve
-    parse_deadline = BUDGET - 45
-
-    max_repeats = int(os.environ.get("BENCH_CRAWL_REPEATS", "3"))
-
-    def _crawl_round_done(runs):
-        low, high, eff = _eff(runs)
-        if low is None:
-            return
-        out["crawl"] = {"n_cores": _leg(low), "4n_cores": _leg(high),
-                        "scaling_efficiency": eff,
-                        "rounds": len(runs["n"]),
-                        "samples_4n": sum(1 for d in runs["4n"] if d),
-                        **geometry,
-                        "detail": "BENCH/bench_detail.json"}
-        detail["crawl_all_runs"] = {k: v for k, v in runs.items()}
-        _flush_detail()
-
-    def _crawl_pair(r):
-        rn = _run_leg({"kind": "crawl", "cpus": n_small, "web": web_dir,
-                       "work": work_root, "tag": f"n{r}", "pin": pin},
-                      timeout=crawl_deadline - _elapsed() + 120)
-        r4 = _run_leg({"kind": "crawl", "cpus": n_big, "web": web_dir,
-                       "work": work_root, "tag": f"4n{r}", "pin": pin},
-                      timeout=crawl_deadline - _elapsed() + 120)
-        return rn, r4
-
-    def _topup_wall(runs):
-        """Expected wall of one extra 4N leg, from parent-side measured
-        walls (fallback: timed seconds + JVM/warmup overhead)."""
-        done = [d for d in runs.get("4n", []) if d]
-        if not done:
-            return 230.0
-        return min(d.get("leg_wall_s", d["seconds"] + 60.0) for d in done) \
-            + 15.0
-
-    runs = _interleaved_min(_crawl_pair, max_repeats,
-                            deadline=crawl_deadline,
-                            on_round=_crawl_round_done,
-                            reserve_fn=_topup_wall)
-    if runs.pop("budget_stopped", False) and "crawl" in out:
-        out["crawl"]["budget_stopped"] = True
-    # opportunistic top-up of the GATE-SENSITIVE leg: a contended host
-    # window that slows the 4N leg fails the ratio, while a slow N leg only
-    # inflates it — so leftover crawl budget buys extra quiet-window chances
-    # for 4N (same asymmetry as the parse legs' in-child min-of-2).  min-of-N
-    # converges each leg toward its uncontended capability and can never
-    # pass it, so extra samples move the estimate toward truth, not past it.
-    done4 = [d for d in runs["4n"] if d]
-    crawl_budget_stopped = "crawl" in out and \
-        out["crawl"].get("budget_stopped", False)
-    if done4:
-        wall4 = _topup_wall(runs)
-        extra = 0
-        while (extra < 4 and len(runs["4n"]) < max_repeats + 4
-               and crawl_deadline - _elapsed() > wall4):
-            r4 = _run_leg({"kind": "crawl", "cpus": n_big, "web": web_dir,
-                           "work": work_root, "pin": pin,
-                           "tag": f"4nx{extra}"},
-                          timeout=crawl_deadline - _elapsed() + 120)
-            runs["4n"].append(r4)
-            extra += 1
-            _crawl_round_done(runs)  # rebuilds out["crawl"]
-            if crawl_budget_stopped:
-                out["crawl"]["budget_stopped"] = True
-            if r4 is None:
-                break
-    out.setdefault("crawl", {"error": "no crawl leg completed"})
-
-    # the hot-kernel scaling number: the scan+fetch+parse of every page
-    # as one long job per leg — executor scaling of the dominant
-    # distributed work, free of the wave loop's per-wave fixed costs.
-    # The first 4N leg calibrates `loops` so each timed leg is long enough
-    # that scheduling is noise; every later leg does the identical number
-    # of passes.  Parse legs get the SAME interleaved contamination-aware
-    # min-of-N as the crawl legs: in round 2 the parse pair ran once,
-    # back-to-back, at the tail of an hour-long bench — a single contended
-    # host window poisoned both repeats of the 4N leg and the round
-    # shipped 0.31 instead of ~0.85.
+    # One shared deadline: the crawl and parse phases are no longer
+    # sequential blocks (see _spread_legs — their 4N legs alternate across
+    # the whole run, so neither phase needs a reserved tail).  The 4N legs
+    # are the gate-sensitive ones: a contended window that slows a 4N leg
+    # fails the ratio, while a slow N leg only inflates it.  The parse
+    # kernel (run_parse_stage) is the scan+fetch+parse of every page as
+    # one long job per leg — executor scaling of the dominant distributed
+    # work, free of the wave loop's per-wave fixed costs; the crawl number
+    # additionally carries the per-wave orchestration.
+    deadline = BUDGET - 45
     p_state = {"loops": None}
     min_leg = float(os.environ.get("BENCH_PARSE_MIN_LEG", "30"))
+    p4n_samples = int(os.environ.get("BENCH_P4N_SAMPLES", "2"))
 
-    def _parse_pair(r):
-        # the 4N leg takes two in-child samples (min-of-2): it is the
-        # gate-sensitive leg — a contended window that slows it fails the
-        # ratio, while a slow N leg only inflates it — and a second 4N
-        # pass costs ~1/4 of a second N pass.  The N leg stays single-
-        # sample; cross-round min-of-N covers it when budget allows.
-        p4 = _run_leg({"kind": "parse", "cpus": n_big, "web": web_dir,
-                       "tag": f"p4n{r}", "pin": pin,
-                       "repeats": int(os.environ.get(
-                           "BENCH_P4N_SAMPLES", "2")),
-                       "loops": p_state["loops"], "min_leg": min_leg},
-                      timeout=parse_deadline - _elapsed() + 120)
-        if p_state["loops"] is None:
-            # pin the calibrated pass count for EVERY later leg (both cpu
-            # sizes, all rounds) — min-of-N across legs is only meaningful
-            # when each timed leg does identical work.  If the calibrating
-            # leg crashed, pin the single-pass fallback.
-            p_state["loops"] = (p4 or {}).get("loops", 1)
-        p1 = _run_leg({"kind": "parse", "cpus": n_small, "web": web_dir,
-                       "tag": f"pn{r}", "pin": pin,
-                       "loops": p_state["loops"], "min_leg": min_leg},
-                      timeout=parse_deadline - _elapsed() + 120)
-        return p1, p4
+    def runner(key: str, i: int):
+        t_left = deadline - _elapsed() + 120
+        if key == "crawl_n":
+            return _run_leg({"kind": "crawl", "cpus": n_small,
+                             "web": web_dir, "work": work_root,
+                             "tag": f"n{i}", "pin": pin}, timeout=t_left)
+        if key == "crawl_4n":
+            return _run_leg({"kind": "crawl", "cpus": n_big, "web": web_dir,
+                             "work": work_root, "tag": f"4n{i}",
+                             "pin": pin}, timeout=t_left)
+        if key == "parse_4n":
+            # the first parse 4N leg calibrates `loops` so each timed leg
+            # runs >= min_leg seconds; the calibrated count is pinned for
+            # EVERY later leg (both cpu sizes) — min-of-N across legs is
+            # only meaningful when each leg does identical work.  In-child
+            # min-of-{p4n_samples} because a second 4N pass costs ~1/4 of
+            # a second N pass.  If the calibrating leg crashed, pin the
+            # single-pass fallback.
+            d = _run_leg({"kind": "parse", "cpus": n_big, "web": web_dir,
+                          "tag": f"p4n{i}", "pin": pin,
+                          "repeats": p4n_samples,
+                          "loops": p_state["loops"], "min_leg": min_leg},
+                         timeout=t_left)
+            if p_state["loops"] is None:
+                p_state["loops"] = (d or {}).get("loops", 1)
+            return d
+        if p_state["loops"] is None:  # calibration leg never completed
+            p_state["loops"] = 1
+        return _run_leg({"kind": "parse", "cpus": n_small, "web": web_dir,
+                         "tag": f"pn{i}", "pin": pin,
+                         "loops": p_state["loops"], "min_leg": min_leg},
+                        timeout=t_left)
 
-    def _parse_round_done(p_runs):
-        pn, p4n, peff = _eff(p_runs)
-        if pn is None:
-            return
-        out["crawl"]["parse_stage"] = {"n_cores": _leg(pn),
-                                       "4n_cores": _leg(p4n),
-                                       "scaling_efficiency": peff,
-                                       "rounds": len(p_runs["n"]),
-                                       "samples_4n": sum(
-                                           1 for d in p_runs["4n"] if d)}
-        detail["parse_all_runs"] = {k: v for k, v in p_runs.items()}
+    def on_leg(results: dict, budget_skipped: bool) -> None:
+        """Rebuild the stdout dict after EVERY leg so a driver kill still
+        flushes best-so-far numbers, and checkpoint the full leg record to
+        the detail side file."""
+        low, high, eff = _eff({"n": results.get("crawl_n", []),
+                               "4n": results.get("crawl_4n", [])})
+        if low is not None:
+            out["crawl"] = {"n_cores": _leg(low), "4n_cores": _leg(high),
+                            "scaling_efficiency": eff,
+                            "samples_n": sum(
+                                1 for d in results["crawl_n"] if d),
+                            "samples_4n": sum(
+                                1 for d in results["crawl_4n"] if d),
+                            **geometry,
+                            "detail": "BENCH/bench_detail.json"}
+            if budget_skipped:
+                out["crawl"]["budget_stopped"] = True
+        pn, p4n, peff = _eff({"n": results.get("parse_n", []),
+                              "4n": results.get("parse_4n", [])})
+        if pn is not None and "crawl" in out:
+            out["crawl"]["parse_stage"] = {
+                "n_cores": _leg(pn), "4n_cores": _leg(p4n),
+                "scaling_efficiency": peff,
+                "samples_4n": sum(1 for d in results["parse_4n"] if d)}
+        detail["crawl_all_runs"] = {"n": results.get("crawl_n", []),
+                                    "4n": results.get("crawl_4n", [])}
+        detail["parse_all_runs"] = {"n": results.get("parse_n", []),
+                                    "4n": results.get("parse_4n", [])}
         _flush_detail()
 
-    def _p_topup_wall(p_runs):
-        done = [d for d in p_runs.get("4n", []) if d]
-        if not done:
-            return 200.0
-        # later p4n legs skip loop calibration, so the first leg's wall
-        # overestimates — still the safe (never-overrun) basis
-        return min(d.get("leg_wall_s", d["seconds"] + 60.0) for d in done) \
-            + 15.0
-
-    p_repeats = int(os.environ.get("BENCH_PARSE_REPEATS", "3"))
-    p_runs = _interleaved_min(
-        _parse_pair, p_repeats,
-        deadline=parse_deadline, on_round=_parse_round_done,
-        reserve_fn=_p_topup_wall)
-    if p_runs.pop("budget_stopped", False) \
-            and "parse_stage" in out["crawl"]:
-        out["crawl"]["parse_stage"]["budget_stopped"] = True
-    # same gate-sensitive-leg top-up as the crawl phase: leftover parse
-    # budget buys extra 4N kernel samples (min-of-N can only move the
-    # estimate toward uncontended capability, never past it)
-    done_p4 = [d for d in p_runs["4n"] if d]
-    parse_budget_stopped = "parse_stage" in out.get("crawl", {}) and \
-        out["crawl"]["parse_stage"].get("budget_stopped", False)
-    if done_p4 and p_state["loops"] is not None:
-        pwall = _p_topup_wall(p_runs)
-        extra = 0
-        while (extra < 3 and len(p_runs["4n"]) < p_repeats + 3
-               and parse_deadline - _elapsed() > pwall):
-            p4 = _run_leg({"kind": "parse", "cpus": n_big, "web": web_dir,
-                           "tag": f"p4nx{extra}", "pin": pin,
-                           "repeats": int(os.environ.get(
-                               "BENCH_P4N_SAMPLES", "2")),
-                           "loops": p_state["loops"], "min_leg": min_leg},
-                          timeout=parse_deadline - _elapsed() + 120)
-            p_runs["4n"].append(p4)
-            extra += 1
-            _parse_round_done(p_runs)  # rebuilds parse_stage
-            if parse_budget_stopped:
-                out["crawl"]["parse_stage"]["budget_stopped"] = True
-            if p4 is None:
-                break
+    n_samples = max(1, int(os.environ.get("BENCH_CRAWL_N_SAMPLES", "1")))
+    # schedule shape: a 4N leg of each kind first (earliest possible
+    # multi-core sample + parse-loop calibration), the stable N baselines
+    # spread through the middle (they double as temporal gaps between 4N
+    # samples), 4N legs alternating crawl/parse throughout, then the
+    # top-up cycle spends whatever budget remains.  On a clean-host run
+    # with official defaults the crawl 4N samples land ~8-10 minutes
+    # apart across ~30 minutes — a contention window now has to cover the
+    # entire run to contaminate every sample of either phase.
+    schedule = (["crawl_4n", "parse_4n", "crawl_n", "crawl_4n", "parse_n"]
+                + ["crawl_n"] * (n_samples - 1)
+                + ["crawl_4n", "parse_4n", "crawl_4n", "parse_4n"])
+    caps = {"crawl_n": n_samples,
+            "parse_n": max(1, int(os.environ.get(
+                "BENCH_PARSE_N_SAMPLES", "1"))),
+            "crawl_4n": int(os.environ.get("BENCH_CRAWL_4N_CAP", "8")),
+            "parse_4n": int(os.environ.get("BENCH_PARSE_4N_CAP", "6"))}
+    # pre-first-sample wall estimates (parent-side, incl. JVM + warmup),
+    # from the §1.5 validation campaign; replaced by each key's own
+    # min observed wall after its first leg completes
+    walls = {"crawl_n": 560.0, "crawl_4n": 230.0,
+             "parse_n": 260.0, "parse_4n": 230.0}
+    results = _spread_legs(schedule, runner, deadline, walls, caps=caps,
+                           on_leg=on_leg,
+                           topup_cycle=("crawl_4n", "parse_4n"))
+    if results.get("budget_stopped") and "crawl" in out:
+        out["crawl"]["budget_stopped"] = True
+    out.setdefault("crawl", {"error": "no crawl leg completed"})
 
     detail["queries"] = out.get("queries")
     detail["note"] = (
-        "efficiency = (T_N / T_4N) / 4 over interleaved min-of-N repeats "
-        "per leg (stability-stopped on leg minima, never on the efficiency "
-        "value; budget-stopped before the driver's wall clock); 1.0 = "
-        "ideal; parse_stage = the same ratio for the single-job "
-        "scan+fetch+parse hot kernel, loops calibrated at 4N; each leg a "
-        "fresh (optionally cpuset-pinned) process tree")
+        "efficiency = (T_N / T_4N) / 4, min over samples per leg; 1.0 = "
+        "ideal; crawl and parse 4N legs ALTERNATE across the whole run "
+        "(window-escape spread, BENCH/BASELINE.md §1.4-1.5) with the "
+        "stable 1-core legs sampled once; budget-checked before every "
+        "leg so the run ends before the driver's wall clock; parse_stage "
+        "= the same ratio for the single-job scan+fetch+parse hot "
+        "kernel, loops calibrated at 4N; each leg a fresh (optionally "
+        "cpuset-pinned) process tree")
     _flush_detail()
 
 

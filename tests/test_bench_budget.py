@@ -4,7 +4,8 @@ Three rounds of official bench artifacts were lost (r01 weak legs, r02
 clipped line, r03 rc-124 kill with ``parsed: null``).  These tests pin the
 round-4 contract with fast fakes — no Spark session, no corpus:
 
-* the overall wall-clock budget stops ``_interleaved_min`` sampling,
+* the overall wall-clock budget stops ``_spread_legs`` sampling (first
+  leg of each kind always runs; later legs are skipped, never killed),
 * the emitted stdout line parses as JSON and stays under the driver's
   ~2000-char tail capture,
 * a SIGTERM mid-run still yields a parseable line (rc 143, flushed by the
@@ -41,105 +42,98 @@ def _leg(sec: float, cpus: int) -> dict:
             "iowait_pct": 0.0}
 
 
-def test_budget_stop_triggers(bench):
+def test_budget_skip_preserves_partial_results(bench):
+    """Legs that would cross the deadline are skipped (never started and
+    killed), the must-run first leg of each kind still runs, and the
+    budget_stopped flag records that a scheduled leg was dropped."""
     calls = []
 
-    def run_pair(r):
-        time.sleep(0.25)
-        calls.append(r)
-        # never-stabilizing minima so only the budget can stop the loop
-        return _leg(10.0 / (r + 1), 2), _leg(3.0 / (r + 1), 8)
+    def runner(key, i):
+        time.sleep(0.2)
+        calls.append((key, i))
+        return dict(_leg(5.0, 4), leg_wall_s=0.2)
 
-    deadline = bench._elapsed() + 0.4  # first round fits, second would not
-    runs = bench._interleaved_min(run_pair, max_repeats=50,
-                                  deadline=deadline)
-    assert runs.get("budget_stopped") is True
-    assert len(calls) < 50  # stopped long before the repeat cap
-    assert runs["n"] and runs["4n"]  # partial results preserved
-
-
-def test_reserve_fn_stops_pair_rounds_earlier(bench):
-    """With a reserve_fn the pair loop must refuse a round that would
-    starve the caller's post-loop top-up legs — without the reserve the
-    same deadline admits the round (the r4 0.705-run failure mode)."""
-    def make_pair(calls):
-        def run_pair(r):
-            time.sleep(0.2)
-            calls.append(r)
-            return _leg(10.0 / (r + 1), 1), _leg(3.0 / (r + 1), 4)
-        return run_pair
-
-    with_res, without = [], []
-    deadline = bench._elapsed() + 0.62
-    runs = bench._interleaved_min(make_pair(with_res), max_repeats=50,
-                                  deadline=deadline,
-                                  reserve_fn=lambda runs: 0.3)
-    assert runs.get("budget_stopped") is True
-    deadline = bench._elapsed() + 0.62
-    bench._interleaved_min(make_pair(without), max_repeats=50,
-                           deadline=deadline)
-    assert len(with_res) < len(without)  # the reserve held rounds back
+    deadline = bench._elapsed() + 0.5  # fits the two must-legs, no more
+    res = bench._spread_legs(["a", "b", "a", "a", "a"], runner, deadline,
+                             {"a": 0.2, "b": 0.2})
+    assert res["budget_stopped"] is True
+    assert [c[0] for c in calls] == ["a", "b"]  # must-legs ran, rest skipped
+    assert len(res["a"]) == 1 and len(res["b"]) == 1
 
 
-def test_budget_stop_keeps_checkpointed_state(bench):
-    """on_round must have populated best-so-far state BEFORE the stop, so a
-    later kill still has numbers to flush."""
+def test_first_leg_of_each_kind_always_runs(bench):
+    """Even with the deadline already crossed, the first leg of each kind
+    runs — no ratio exists without one sample per kind (the SIGTERM flush
+    is the backstop if it overruns)."""
+    def runner(key, i):
+        return dict(_leg(1.0, 4), leg_wall_s=5.0)
+
+    res = bench._spread_legs(["a", "b"], runner, bench._elapsed() - 1.0,
+                             {"a": 99.0, "b": 99.0})
+    assert len(res["a"]) == 1 and len(res["b"]) == 1
+    assert res["budget_stopped"] is False  # nothing optional was skipped
+
+
+def test_learned_wall_admits_legs_the_default_would_refuse(bench):
+    """The pre-first-sample wall default is conservative; once a key's own
+    leg reports its parent-side wall, the cheaper observed cost must drive
+    the budget check (the old wall-based estimate refused rounds that
+    fit)."""
+    def runner(key, i):
+        time.sleep(0.05)
+        return dict(_leg(1.0, 4), leg_wall_s=0.05)
+
+    deadline = bench._elapsed() + 0.5
+    res = bench._spread_legs(["a", "a", "a"], runner, deadline,
+                             {"a": 100.0}, caps={"a": 3})
+    assert len(res["a"]) == 3  # default wall 100s would have refused #2/#3
+    assert res["budget_stopped"] is False
+
+
+def test_topup_cycle_fills_remaining_budget_until_caps(bench):
+    def runner(key, i):
+        time.sleep(0.02)
+        return dict(_leg(1.0, 4), leg_wall_s=0.02)
+
+    res = bench._spread_legs(["a", "b"], runner, bench._elapsed() + 5.0,
+                             {"a": 0.02, "b": 0.02},
+                             caps={"a": 4, "b": 3},
+                             topup_cycle=("a", "b"))
+    assert len(res["a"]) == 4 and len(res["b"]) == 3  # cap-stopped
+    assert res["budget_stopped"] is False  # top-up exhaustion != budget stop
+
+
+def test_on_leg_checkpoints_after_every_leg(bench):
+    """on_leg must fire after EVERY completed leg so best-so-far state is
+    flushable at any kill point."""
     seen = []
 
-    def run_pair(r):
-        time.sleep(0.2)
-        return _leg(8.0, 2), _leg(2.2, 8)
+    def runner(key, i):
+        return _leg(1.0, 4)
 
-    bench._interleaved_min(run_pair, max_repeats=50,
-                           deadline=bench._elapsed() + 0.3,
-                           on_round=lambda runs: seen.append(
-                               (len(runs["n"]), len(runs["4n"]))))
-    assert seen and seen[0] == (1, 1)
-
-
-def test_next_round_estimate_tighter_than_wall(bench):
-    """Round 1 wall time carries one-time costs (calibration, first-child
-    import); the budget check must use the legs' own timed samples +
-    overhead so a second round that genuinely fits is not refused."""
-    calls = []
-
-    def run_pair(r):
-        calls.append(r)
-        time.sleep(0.5)  # wall per round >> timed samples
-        return (dict(_leg(0.01, 2), samples=[0.01]),
-                dict(_leg(0.01, 8), samples=[0.01]))
-
-    runs = bench._interleaved_min(
-        run_pair, max_repeats=2,
-        # after round 1 (~0.5 s wall) only ~0.3 s remain: the wall-based
-        # estimate (0.5) would refuse round 2, the sample-sum one (0.02)
-        # admits it
-        deadline=bench._elapsed() + 0.8,
-        overhead_s=0.0)
-    assert len(calls) == 2  # wall-based estimate would have stopped at 1
-    assert "budget_stopped" not in runs
+    bench._spread_legs(["a", "b", "a"], runner, bench._elapsed() + 60.0,
+                       {"a": 0.0, "b": 0.0}, caps={"a": 2, "b": 1},
+                       on_leg=lambda res, skipped: seen.append(
+                           (len(res.get("a", [])), len(res.get("b", [])))))
+    assert seen == [(1, 0), (1, 1), (2, 1)]
 
 
-def test_crashed_leg_counts_as_contaminated_and_eff_filters_none(bench):
-    """A leg subprocess crash/timeout returns None: _interleaved_min must
-    keep sampling until each leg has a real quiet measurement, and _eff
-    must compute from the surviving legs only."""
-    calls = []
+def test_crashed_leg_recorded_and_eff_filters_none(bench):
+    """A leg subprocess crash/timeout returns None: the record keeps it
+    (honest sample count) and _eff computes from the survivors only."""
+    def runner(key, i):
+        return None if i == 0 else _leg(2.4, 4)
 
-    def run_pair(r):
-        calls.append(r)
-        # first round: 4N leg crashed; second round: both fine
-        return (_leg(8.0, 2), None) if r == 0 else (_leg(8.0, 2),
-                                                    _leg(2.4, 8))
+    res = bench._spread_legs(["a", "a"], runner, bench._elapsed() + 60.0,
+                             {"a": 0.0}, caps={"a": 2})
+    assert res["a"][0] is None and res["a"][1]["seconds"] == 2.4
 
-    runs = bench._interleaved_min(run_pair, max_repeats=2)
-    assert len(calls) == 2
+    runs = {"n": [_leg(8.0, 1), None], "4n": [None, _leg(2.4, 4)]}
     low, high, eff = bench._eff(runs)
     assert low["seconds"] == 8.0 and high["seconds"] == 2.4
     assert eff == round(8.0 / 2.4 / 4, 3)
-
-    none_runs = {"n": [None], "4n": [_leg(2.0, 8)]}
-    assert bench._eff(none_runs) == (None, None, None)
+    assert bench._eff({"n": [None], "4n": [_leg(2.0, 4)]}) == \
+        (None, None, None)
 
 
 def test_emitted_line_parses_and_fits_tail_capture(bench):
