@@ -367,7 +367,12 @@ def _warmup_web(scratch: str) -> str:
 # 128 MB library default is correct because task count dwarfs core count.
 def _bench_conf() -> dict:
     mb = int(os.environ.get("BENCH_MAX_PART_MB", "16"))
-    return {"spark.sql.files.maxPartitionBytes": str(mb * 1024 * 1024)}
+    conf = {"spark.sql.files.maxPartitionBytes": str(mb * 1024 * 1024)}
+    # ad-hoc spark-conf overrides for leg-level measurement experiments
+    # (e.g. '{"spark.sql.adaptive.enabled": "false"}'); never set on
+    # official runs — the official legs measure the engine's real config
+    conf.update(json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}")))
+    return conf
 
 
 def run_crawl(cpus: int, web_dir: str, work_root: str, tag: str) -> dict:

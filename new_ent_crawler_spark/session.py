@@ -37,7 +37,21 @@ def get_spark(app: str = "new-ent-crawler-spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing OFF, skew-join ON: this engine sizes shuffle
+        # partitions explicitly (2x cores here; bytes-based on a cluster),
+        # so AQE's runtime coalescing has no oversized-partition-count
+        # problem to solve — its only observable effect is merging the
+        # small control-plane shuffles (candidate dedup, dequeue ranking,
+        # counters) below core count: measured 8 -> 1 post-shuffle
+        # partitions on a sub-MB aggregate, i.e. every post-shuffle
+        # control stage runs single-threaded no matter how many executors
+        # exist.  Fine at toy scale, wrong by construction at 100 TB where
+        # those stages carry GBs; skew-join splitting (the AQE feature the
+        # crawl actually needs — registry-domain skew) is independent and
+        # stays on.  (Spark 4 ignores the deprecated minPartitionNum floor,
+        # so disabling coalescing is the only way to keep the floor at the
+        # session's explicit partition count.)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")

@@ -99,3 +99,22 @@ def test_distributed_ntile_remainder_rule(spark):
              (distributed_ntile(df, 4, ["k"])
               .groupBy("tile").agg(F.count("*").alias("n")).collect())}
     assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_small_shuffles_keep_session_parallelism(spark):
+    """AQE coalescing must not serialize control-plane stages: with
+    partitions explicitly sized by the session (2x cores), a sub-MB
+    aggregate must keep its post-shuffle partition count instead of
+    coalescing to 1 task (measured with coalescing on: 8 -> 1, i.e.
+    every post-shuffle control stage single-threaded at any executor
+    count — wrong by construction at 100 TB).  Skew-join splitting, the
+    AQE feature the crawl path needs, stays enabled independently."""
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    agg = (spark.range(100_000)
+           .select((F.col("id") % 997).alias("k"))
+           .groupBy("k").count())
+    agg.write.format("noop").mode("overwrite").save()
+    assert agg.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
