@@ -1273,6 +1273,20 @@ def _q_cdx_revisit(spark, sf):
         "event_id", "url", "digest", "status", "prev_ts14")
 
 
+def _q_training_shards(spark, sf):
+    """Token-budget training-shard packing (operators/sharding.py): lay
+    documents out in doc_id order and bucket them at 2,000 tokens per
+    shard (shard_id = floor(tokens-before / target) — deterministic,
+    contiguous, bounded by target + one document).  The running token
+    offset is a range-parallel global window sum (ranking.py::
+    with_global_cumsum — range exchange + P-integer offset broadcast,
+    never a SinglePartition window).  Returns the per-shard manifest."""
+    from new_ent_crawler_spark.operators import sharding as SH
+    return (SH.shard_summary(_t(spark, sf, "documents"),
+                             target_tokens=2000, order_cols=("doc_id",))
+            .orderBy("shard_id"))
+
+
 def _q_url_canonicalize(spark, sf):
     """Canonicalize messy raw URLs (case, default ports, query-param order,
     fragments, empty paths) into the seen-set/frontier key form — the
@@ -1429,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "bloom_prune_new_keys": _q_bloom_prune_new_keys,
         "cuckoo_prune_new_keys": _q_cuckoo_prune_new_keys,
+        "training_shards": _q_training_shards,
     }
 
 
@@ -2891,4 +2906,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_features: intentionally no SQL oracle (feature vector
         # comes from the container-stubbed codec path) -> rows-only
+        "training_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                                       x -> length(x) > 0)) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+                FROM t
+            )
+            SELECT CAST(FLOOR(cum_before / 2000) AS BIGINT) AS shard_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
     }

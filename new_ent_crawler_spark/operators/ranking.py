@@ -60,6 +60,48 @@ def _with_global_rn(df: DataFrame, order_cols: list[str],
     return out, acc
 
 
+def with_global_cumsum(df: DataFrame, order_cols: list[str],
+                       value_col: str,
+                       num_partitions: int | None = None
+                       ) -> tuple[DataFrame, int]:
+    """df + ``global_cum``: the INCLUSIVE running sum of ``value_col`` in
+    the total order given by ``order_cols`` (must be tie-free), computed
+    with the same range-parallel plan as :func:`_with_global_rn` —
+    ``SUM(v) OVER (ORDER BY ...)`` without the SinglePartition window:
+
+    1. range exchange on the order key,
+    2. per-partition local running sum (window PARTITIONED by
+       ``spark_partition_id()``),
+    3. one driver collect of P per-partition TOTALS -> cumulative offsets
+       broadcast back (P longs, never data).
+
+    Returns ``(df_with_global_cum, grand_total)``.  The backbone of
+    token-budget training-shard packing (operators/sharding.py)."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn(PID, F.spark_partition_id())
+    w = (Window.partitionBy(PID)
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # persist pins the SAMPLED range boundaries (see _with_global_rn)
+    local = ranged.withColumn(
+        LRN, F.sum(F.col(value_col)).over(w)).persist()
+    sums = {r[0]: r[1] for r in
+            local.groupBy(PID).agg(
+                F.sum(F.col(value_col)).alias("s")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    off_df = spark.createDataFrame(offsets, f"{PID} int, {OFF} long")
+    out = (local.join(F.broadcast(off_df), PID)
+           .withColumn("global_cum",
+                       (F.col(OFF) + F.col(LRN)).cast("long"))
+           .drop(PID, LRN, OFF))
+    return out, acc
+
+
 def distributed_ntile(df: DataFrame, n: int, order_cols: list[str],
                       num_partitions: int | None = None) -> DataFrame:
     """Exact SQL ``NTILE(n) OVER (ORDER BY order_cols)`` as a range-parallel
