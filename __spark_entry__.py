@@ -1273,6 +1273,16 @@ def _q_cdx_revisit(spark, sf):
         "event_id", "url", "digest", "status", "prev_ts14")
 
 
+def _q_dup_span_stats(spark, sf):
+    """Exact duplicated-span statistics (operators/dedup_text.py::
+    dup_span_stats): per document, how many of its 20-token rolling
+    spans occur >= 2 times anywhere in the corpus — the fixed-window
+    Spark shape of Lee et al.'s exact substring dedup.  Span hashes are
+    built in-row (narrow); only compact (md5, doc) digests shuffle."""
+    return (DT.dup_span_stats(_t(spark, sf, "documents"), span_tokens=20)
+            .orderBy("doc_id"))
+
+
 def _q_training_shards(spark, sf):
     """Token-budget training-shard packing (operators/sharding.py): lay
     documents out in doc_id order and bucket them at 2,000 tokens per
@@ -1444,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_new_keys": _q_bloom_prune_new_keys,
         "cuckoo_prune_new_keys": _q_cuckoo_prune_new_keys,
         "training_shards": _q_training_shards,
+        "dup_span_stats": _q_dup_span_stats,
     }
 
 
@@ -2924,5 +2935,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "dup_span_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0) AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       greatest(len(toks) - 19, 0) AS n_spans,
+                       list_transform(
+                           generate_series(1, len(toks) - 19),
+                           i -> md5(array_to_string(toks[i:i+19], ' '))
+                       ) AS spans
+                FROM t
+            ), e AS (
+                SELECT doc_id, unnest(spans) AS h FROM s
+            ), occ AS (
+                SELECT h, COUNT(*) AS occ FROM e GROUP BY h
+            ), d AS (
+                SELECT e.doc_id, COUNT(*) AS n_dup
+                FROM e JOIN occ USING (h)
+                WHERE occ.occ >= 2 GROUP BY e.doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(s.n_spans AS BIGINT) AS n_spans,
+                   CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   ROUND(CASE WHEN s.n_spans = 0 THEN 0.0
+                              ELSE COALESCE(d.n_dup, 0)::DOUBLE / s.n_spans
+                         END, 6) AS dup_frac
+            FROM s LEFT JOIN d USING (doc_id)
+            ORDER BY s.doc_id
         """,
     }

@@ -369,3 +369,61 @@ def dedup_cluster_keep(docs: DataFrame, pairs: DataFrame,
             .select("doc_id",
                     F.coalesce("comp", F.col("doc_id")).alias("comp"))
             .withColumn("keep", F.col("doc_id") == F.col("comp")))
+
+
+def dup_span_stats(docs: DataFrame, span_tokens: int = 20,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document exact duplicated-span statistics — the fixed-window
+    variant of exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": long substrings repeated
+    anywhere in the corpus are memorization fuel and should be cut).
+
+    A span is ``span_tokens`` consecutive whitespace tokens; it is
+    *duplicated* when its hash occurs >= 2 times anywhere in the corpus
+    (another document OR elsewhere in the same document).  Suffix arrays
+    — the single-node tool for this — don't distribute; the Spark-native
+    shape is rolling span hashes built IN-ROW (narrow, like
+    ``shingle_arrays``), then compact digest-only shuffles:
+
+    1. (hash, doc) occurrence counts — map-side combinable;
+    2. per-hash totals (partial agg, tiny);
+    3. totals joined back, >= 2 filtered, per-doc re-group.
+
+    A boilerplate span repeated 10^6 times is ONE row after step 1 per
+    doc and one row in step 2 — frequency never explodes a partition.
+    Returns (doc_id, n_spans, n_dup_spans, dup_frac rounded to 6dp).
+    """
+    k = span_tokens
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: F.length(x) > 0)
+    base = (docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .select("doc_id",
+                    F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
+                    .alias("n_spans"),
+                    F.col("toks")))
+    # Spark's sequence(1, 0) counts DOWN — guard the short-doc case to an
+    # empty span array instead
+    spans = base.select(
+        "doc_id", "n_spans",
+        F.when(F.col("n_spans") >= 1, F.transform(
+            F.sequence(F.lit(1), F.col("n_spans")),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k)))))
+        .otherwise(F.array().cast("array<string>")).alias("spans"))
+    sp = spans.select("doc_id", F.explode("spans").alias("h"))
+    per_doc_h = sp.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    per_doc_h = per_doc_h.persist()
+    totals = per_doc_h.groupBy("h").agg(F.sum("c").alias("occ"))
+    dup = (per_doc_h.join(totals.filter(F.col("occ") >= 2), "h")
+           .groupBy("doc_id").agg(F.sum("c").alias("n_dup")))
+    out = (spans.select("doc_id", "n_spans")
+           .join(dup, "doc_id", "left")
+           .select("doc_id",
+                   F.col("n_spans").cast("long").alias("n_spans"),
+                   F.coalesce("n_dup", F.lit(0)).cast("long")
+                   .alias("n_dup_spans"))
+           .withColumn("dup_frac", F.round(
+               F.when(F.col("n_spans") == 0, F.lit(0.0))
+               .otherwise(F.col("n_dup_spans")
+                          / F.col("n_spans").cast("double")), 6)))
+    return out

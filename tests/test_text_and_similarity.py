@@ -334,3 +334,25 @@ def test_contamination_ac_equals_jvm_scan(spark):
     ac2 = {r.probe: r.n_docs_hit for r in
            contamination_hits_ac(corpus, probes2).collect()}
     assert ac2 == jvm2 and jvm2
+
+
+def test_dup_span_stats_planted_duplicates(spark):
+    from new_ent_crawler_spark.operators.dedup_text import dup_span_stats
+    span = " ".join(f"w{i}" for i in range(20))          # 20 shared tokens
+    docs = spark.createDataFrame(
+        [(1, span + " tail1 tail2"),                     # 3 spans, 1 dup
+         (2, "lead1 " + span),                           # 2 spans, 1 dup
+         (3, " ".join(f"u{i}" for i in range(25))),      # 6 spans, 0 dup
+         (4, "too short"),                               # 0 spans
+         (5, span + " " + span)],                        # internal repeats
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in dup_span_stats(docs, 20).collect()}
+    assert (out[1].n_spans, out[1].n_dup_spans) == (3, 1)
+    assert (out[2].n_spans, out[2].n_dup_spans) == (2, 1)
+    assert (out[3].n_spans, out[3].n_dup_spans) == (6, 0)
+    assert (out[4].n_spans, out[4].n_dup_spans, out[4].dup_frac) == (0, 0, 0.0)
+    # doc 5: 40 tokens -> 21 spans; the spans at offsets 1 and 21 are the
+    # two aligned copies (both also equal docs 1/2's span) -> >= 2 dups;
+    # windows crossing the seam are unique to doc 5
+    assert out[5].n_spans == 21 and out[5].n_dup_spans >= 2
+    assert abs(out[1].dup_frac - round(1 / 3, 6)) < 1e-9
