@@ -113,6 +113,23 @@ add("Registered domain (PSL): suffix explode + broadcast rules + argmax",
     "|distinct hosts|, never |pages|. The join-back to the input is left "
     "to AQE: broadcast at test scale, shuffled hash join at 10^8 hosts.")
 
+add("Training shards: range-parallel global cumsum, no SinglePartition",
+    qs["training_shards"](spark, sf),
+    "The running token offset that drives shard_id is SUM(v) OVER "
+    "(ORDER BY ...) rebuilt as a range exchange + per-partition window "
+    "+ P-integer offset broadcast — the plan shows RangePartitioning "
+    "and a partitionBy(_ntile_pid) window, never a SinglePartition "
+    "exchange, so packing a 100 TB corpus keeps every executor busy.")
+
+add("Dup-span stats: in-row span hashes, digest-only shuffles",
+    qs["dup_span_stats"](spark, sf),
+    "Rolling 20-token span hashes are built in-row (transform over "
+    "sequence), so the first exchange already carries md5 digests, not "
+    "text. The (hash,doc) -> hash -> doc aggregation ladder is "
+    "map-side combinable at each step; a span repeated a million times "
+    "collapses to one row per doc before the per-hash total is "
+    "computed.")
+
 add("CDX revisit classification: max-aggregate, no window sort",
     qs["cdx_revisit"](spark, sf),
     "Latest-previous-capture is ONE map-side-combinable max over the "
