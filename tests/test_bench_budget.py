@@ -247,3 +247,37 @@ def test_wait_for_own_quiet_excludes_ancestors(monkeypatch):
     t0 = time.monotonic()
     b._wait_for_own_quiet(max_wait=0.2)
     assert time.monotonic() - t0 < 5.0
+
+
+def test_forked_children_never_emit(bench):
+    """The corpus generator fans out over a fork Pool; each worker inherits
+    the atexit hook, the SIGTERM handler, and a fresh _EMITTED=False — so
+    without the _MAIN_PID guard every worker re-printed the whole state
+    line on exit (run 11: 30 copies of the artifact on stdout).  A forked
+    child must emit NOTHING on either the atexit or the signal path."""
+    script = textwrap.dedent("""
+        import multiprocessing as mp
+        import os, signal, sys
+        os.environ["BENCH_LAST_LINE_PATH"] = os.devnull
+        sys.path.insert(0, %r)
+        import bench
+        bench._STATE.update({"metric": "suite_seconds", "value": 1.0})
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(4) as pool:
+            pool.map(len, [b""] * 64)   # workers exit -> atexit path
+
+        pid = os.fork()                 # the signal path, in a raw fork
+        if pid == 0:
+            os.kill(os.getpid(), signal.SIGTERM)
+            os._exit(99)                # unreachable if handler fires
+        _, status = os.waitpid(pid, 0)
+        assert os.waitstatus_to_exitcode(status) == 143
+
+        bench._emit()           # the parent's one legitimate line
+    """) % REPO
+    r = subprocess.run([sys.executable, "-c", script],
+                       stdout=subprocess.PIPE, text=True, timeout=120)
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE line, got {len(lines)}: {lines}"
+    assert json.loads(lines[0])["value"] == 1.0
