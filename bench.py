@@ -555,11 +555,25 @@ def _run_leg(spec: dict, timeout: float) -> dict | None:
     None on crash/timeout — the caller treats that leg as missing and the
     artifact keeps every other measurement."""
     w0 = time.monotonic()
+    env = dict(os.environ)
+    if spec.get("kind") in ("crawl", "parse"):
+        # Size the leg JVM to the LEG, not the box.  The 48g suite default
+        # made every fresh leg JVM touch tens of GB of newly-faulted heap
+        # (young-gen sizing + GC page zeroing), which on a co-tenant host
+        # lands on hypervisor-slow EPT faults and shows up as guest sys%:
+        # two interleaved A/B pairs on the official corpus measured 4-core
+        # crawl legs at 161/183 s with 8g vs 225/276 s with 48g (user%
+        # 9.4/8.7 vs 7.0/6.0, sys% 2.2/2.6 vs 3.9/5.0).  The official
+        # corpus (~146k pages, ~5.6 GB zstd) fits 8g with headroom at
+        # every leg size — the 1-core leg processes the same data.
+        env["SPARK_DRIVER_MEM"] = os.environ.get(
+            "BENCH_LEG_DRIVER_MEM", "8g")
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg",
              json.dumps(spec)],
-            stdout=subprocess.PIPE, text=True, timeout=max(timeout, 60))
+            stdout=subprocess.PIPE, text=True, env=env,
+            timeout=max(timeout, 60))
     except subprocess.TimeoutExpired:
         _log(f"leg {spec['tag']}: killed after {timeout:.0f}s leg timeout")
         return None
