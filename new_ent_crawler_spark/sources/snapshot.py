@@ -298,3 +298,125 @@ class DeltaTable(SnapshotTable):
             resolved = resolved.coalesce(n_files)
         return self.overwrite(resolved, meta={**self.meta(),
                                               "wave": version})
+
+
+class BucketedDeltaTable:
+    """Bucket-local merge-on-read: the 10^10-row variant of ``DeltaTable``.
+
+    ``DeltaTable.read`` resolves base-vs-delta last-writer-wins with a
+    key-hash shuffle of both sides (AQE broadcasts the small delta side at
+    sandbox scale, but a 10^10-row frontier whose per-wave deltas are
+    millions of rows gets a frontier-wide SortMergeJoin exchange).  Real
+    Iceberg avoids that by bucketing both base and equality-delete files by
+    the key.  This class expresses the same property in stock Spark: base
+    and deltas are written with ``bucketBy(n, key)`` (Spark native
+    bucketing), so every scan reports ``HashPartitioning(key, n)`` and the
+    whole merge — latest-delta-per-key window, delta-key distinct, base
+    anti-join — runs with ZERO shuffle exchanges at ANY table size
+    (asserted in tests/test_snapshot.py::test_bucketed_merge_no_exchange).
+
+    Catalog notes: bucketed writes require ``saveAsTable``; the files are
+    external (under ``path``) and ``register`` re-creates the catalog
+    entries in a fresh session from the stored spec (``CREATE TABLE …
+    CLUSTERED BY … LOCATION``), so the table survives session restarts the
+    way an Iceberg catalog table would.  Snapshot atomicity/time-travel is
+    ``SnapshotTable``'s manifest job and is not duplicated here — on a
+    real cluster both concerns live in the Iceberg catalog; in-sandbox the
+    wave engine keeps the manifest-based ``DeltaTable`` (whose deltas stay
+    broadcast-small under politeness budgets) and this class carries the
+    at-scale merge shape.
+    """
+
+    VERSION_COL = "_commit_version"
+
+    def __init__(self, path: str, name: str, key_col: str = "url",
+                 buckets: int = 64):
+        self.path = path
+        self.name = name              # catalog-name prefix, e.g. "frontier"
+        self.key_col = key_col
+        self.buckets = buckets
+        self.base_table = f"{name}_base"
+        self.delta_table = f"{name}_deltas"
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _spec_path(self) -> str:
+        return os.path.join(self.path, "bucket_spec.json")
+
+    def _tag(self, df: DataFrame, version: int):
+        from pyspark.sql import functions as F
+        return df.withColumn(self.VERSION_COL,
+                             F.lit(int(version)).cast("long"))
+
+    def _save(self, df: DataFrame, table: str, subdir: str, mode: str):
+        (df.write.mode(mode).format("parquet")
+           .bucketBy(self.buckets, self.key_col)
+           .sortBy(self.key_col)
+           .option("path", os.path.join(self.path, subdir))
+           .saveAsTable(table))
+
+    def overwrite(self, spark: SparkSession, df: DataFrame,
+                  version: int = 0) -> None:
+        """(Re)write the base and clear deltas — the compaction shape."""
+        spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {self.delta_table}")
+        for sub in ("base", "deltas"):
+            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+        tagged = self._tag(df, version)
+        self._save(tagged, self.base_table, "base", "overwrite")
+        with open(self._spec_path, "w") as f:
+            json.dump({"key_col": self.key_col, "buckets": self.buckets,
+                       "schema_ddl": tagged.schema.toDDL()}, f)
+
+    def append_delta(self, spark: SparkSession, df: DataFrame,
+                     version: int) -> None:
+        """O(delta) keyed append; resolution is deferred to ``read`` (the
+        merge-on-read contract).  Append keeps the bucket spec, so delta
+        files stay join-aligned with the base."""
+        mode = ("append" if spark.catalog.tableExists(self.delta_table)
+                else "overwrite")
+        self._save(self._tag(df, version), self.delta_table, "deltas", mode)
+
+    def register(self, spark: SparkSession) -> None:
+        """Re-create the catalog entries in a fresh session from the stored
+        spec — same files, same bucket layout (the catalog-persistence role
+        Iceberg plays on a real cluster)."""
+        with open(self._spec_path) as f:
+            spec = json.load(f)
+        for table, sub in ((self.base_table, "base"),
+                           (self.delta_table, "deltas")):
+            loc = os.path.join(self.path, sub)
+            if not os.path.isdir(loc) or spark.catalog.tableExists(table):
+                continue
+            spark.sql(
+                f"CREATE TABLE {table} ({spec['schema_ddl']}) "
+                f"USING parquet "
+                f"CLUSTERED BY ({spec['key_col']}) "
+                f"SORTED BY ({spec['key_col']}) "
+                f"INTO {spec['buckets']} BUCKETS "
+                f"LOCATION '{loc}'")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """LWW-merged view.  Every stage inherits the scans'
+        ``HashPartitioning(key, buckets)``: the latest-per-key window, the
+        delta-key distinct, and the base anti-join all run bucket-local —
+        no exchange at any frontier size."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        base = spark.table(self.base_table).drop(self.VERSION_COL)
+        if not spark.catalog.tableExists(self.delta_table):
+            return base
+        deltas = spark.table(self.delta_table)
+        w = (Window.partitionBy(self.key_col)
+             .orderBy(F.col(self.VERSION_COL).desc()))
+        latest = (deltas.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .drop("_rn", self.VERSION_COL))
+        keep = base.join(deltas.select(self.key_col).distinct(),
+                         self.key_col, "left_anti")
+        return keep.unionByName(latest)
+
+    def drop(self, spark: SparkSession) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {self.delta_table}")
+        shutil.rmtree(self.path, ignore_errors=True)

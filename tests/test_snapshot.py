@@ -77,3 +77,88 @@ def test_missing_table_raises(spark, tmp_path):
     assert not t.exists()
     with pytest.raises(ValueError):
         t.read(spark)
+
+
+def _bucketed_fixture(spark, tmp_path, name):
+    """Base of 40 urls, two delta commits (10 updates + 5 inserts, then 5
+    updates overlapping both) -> expected LWW state computed by hand."""
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
+    t = BucketedDeltaTable(str(tmp_path / "bf"), name=name, key_col="url",
+                           buckets=8)
+    base = spark.range(40).select(
+        F.concat(F.lit("https://h/u"), "id").alias("url"),
+        F.lit(0).alias("status"), F.lit("base").alias("src"))
+    t.overwrite(spark, base, version=0)
+    d1 = spark.range(15).select(
+        F.concat(F.lit("https://h/u"), (F.col("id") + 30)).alias("url"),
+        F.lit(1).alias("status"), F.lit("d1").alias("src"))
+    t.append_delta(spark, d1, version=1)
+    d2 = spark.range(5).select(
+        F.concat(F.lit("https://h/u"), (F.col("id") + 38)).alias("url"),
+        F.lit(2).alias("status"), F.lit("d2").alias("src"))
+    t.append_delta(spark, d2, version=2)
+    expected = {}  # url -> (status, src)
+    for i in range(40):
+        expected[f"https://h/u{i}"] = (0, "base")
+    for i in range(30, 45):
+        expected[f"https://h/u{i}"] = (1, "d1")
+    for i in range(38, 43):
+        expected[f"https://h/u{i}"] = (2, "d2")
+    return t, expected
+
+
+def test_bucketed_merge_matches_lww_semantics(spark, tmp_path):
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable  # noqa: F401
+    t, expected = _bucketed_fixture(spark, tmp_path, "bft1")
+    got = {r["url"]: (r["status"], r["src"])
+           for r in t.read(spark).collect()}
+    assert got == expected
+    t.drop(spark)
+
+
+def test_bucketed_merge_no_exchange(spark, tmp_path):
+    """The at-scale property: with both sides bucketed by the key, the
+    whole LWW merge (window + distinct + anti-join) keeps the scans'
+    HashPartitioning and the plan holds ZERO exchanges — no shuffle at any
+    frontier size.  Broadcast joins are disabled so the sandbox-size delta
+    can't hide the join behind a BroadcastExchange (at 10^10-frontier
+    scale a multi-million-row delta wouldn't broadcast anyway)."""
+    from tests.test_plans import plan_of
+    t, expected = _bucketed_fixture(spark, tmp_path, "bft2")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = t.read(spark)
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        got = {r["url"]: (r["status"], r["src"]) for r in df.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        t.drop(spark)
+
+
+def test_bucketed_register_fresh_session(spark, tmp_path):
+    """DROP the catalog entries (external tables keep their files), then
+    register() rebuilds them from the stored spec — the files survive a
+    session restart the way an Iceberg catalog table would."""
+    t, expected = _bucketed_fixture(spark, tmp_path, "bft3")
+    spark.sql(f"DROP TABLE {t.base_table}")
+    spark.sql(f"DROP TABLE {t.delta_table}")
+    t.register(spark)
+    got = {r["url"]: (r["status"], r["src"])
+           for r in t.read(spark).collect()}
+    assert got == expected
+    # registration restored the BUCKETED layout, not a plain scan: the
+    # no-exchange merge property must survive re-registration
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "Exchange" not in __import__(
+            "tests.test_plans", fromlist=["plan_of"]).plan_of(t.read(spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        t.drop(spark)
