@@ -516,6 +516,39 @@ def _q_approx_distinct(spark, sf):
                      <= 0.05 * F.col("exact_users")).alias("within_5pct")))
 
 
+def _q_approx_quantiles(spark, sf):
+    """Sketch quantiles (`percentile_approx`, Spark's KLL-family summary —
+    the latency/size-distribution workhorse at 100 TB where an exact
+    percentile would global-sort) made officially checkable with the
+    approx_distinct_users recipe: the sketch output is engine-specific,
+    so the checked surface is (a) the exact interpolated quantiles from
+    the same data and (b) per-group booleans asserting the sketch's rank
+    contract held — the empirical rank of the approx p-quantile (fraction
+    of values ≤ it, one broadcast-join pass, no sort) is within 0.01 of p
+    (accuracy=10000 → rank error ≤ 1e-4, plus 1/n tie granularity).  The
+    oracle returns the same exact quantiles (quantile_cont: both engines
+    interpolate at rank (n-1)p) with constant-true bounds."""
+    ev = _t(spark, sf, "events")
+    agg = (ev.groupBy("event_type")
+           .agg(F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+                F.percentile_approx("value", 0.9, 10000).alias("ap90"),
+                F.expr("percentile(value, 0.5D)").alias("ex50"),
+                F.expr("percentile(value, 0.9D)").alias("ex90"),
+                F.count(F.lit(1)).alias("n_events")))
+    ranks = (ev.join(F.broadcast(agg), "event_type")
+             .groupBy("event_type")
+             .agg((F.sum((F.col("value") <= F.col("ap50")).cast("long"))
+                   / F.first("n_events")).alias("r50"),
+                  (F.sum((F.col("value") <= F.col("ap90")).cast("long"))
+                   / F.first("n_events")).alias("r90")))
+    return (agg.join(ranks, "event_type")
+            .select("event_type", "n_events",
+                    F.round("ex50", 4).alias("exact_p50"),
+                    F.round("ex90", 4).alias("exact_p90"),
+                    (F.abs(F.col("r50") - 0.5) <= 0.01).alias("rank_ok_p50"),
+                    (F.abs(F.col("r90") - 0.9) <= 0.01).alias("rank_ok_p90")))
+
+
 def _q_multimodal_features(spark, sf):
     """Binary-payload feature plumbing (operators/multimodal.py) over the
     deterministic md5 stand-in path.  The raw array<float> feature stays
@@ -1455,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_prune_new_keys": _q_cuckoo_prune_new_keys,
         "training_shards": _q_training_shards,
         "dup_span_stats": _q_dup_span_stats,
+        "approx_quantiles_value": _q_approx_quantiles,
     }
 
 
@@ -2913,6 +2947,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(DISTINCT user_id) AS exact_users,
                    true AS within_5pct
+            FROM events GROUP BY event_type
+        """,
+        # sketch quantiles: the oracle checks the exact interpolated
+        # quantiles (both engines interpolate at rank (n-1)p) and asserts
+        # the engine's empirical-rank bound held for every group
+        "approx_quantiles_value": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(quantile_cont(value, 0.5), 4) AS exact_p50,
+                   round(quantile_cont(value, 0.9), 4) AS exact_p90,
+                   true AS rank_ok_p50,
+                   true AS rank_ok_p90
             FROM events GROUP BY event_type
         """,
         # multimodal_features: intentionally no SQL oracle (feature vector
