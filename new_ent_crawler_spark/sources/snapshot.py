@@ -373,6 +373,11 @@ class BucketedDeltaTable:
         """O(delta) keyed append; resolution is deferred to ``read`` (the
         merge-on-read contract).  Append keeps the bucket spec, so delta
         files stay join-aligned with the base."""
+        if not spark.catalog.tableExists(self.delta_table) and \
+                os.path.isdir(os.path.join(self.path, "deltas")):
+            # fresh session, files on disk: re-register instead of letting
+            # the "overwrite" create below clobber the existing deltas
+            self.register(spark)
         mode = ("append" if spark.catalog.tableExists(self.delta_table)
                 else "overwrite")
         self._save(self._tag(df, version), self.delta_table, "deltas", mode)

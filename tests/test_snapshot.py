@@ -162,3 +162,23 @@ def test_bucketed_register_fresh_session(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         t.drop(spark)
+
+
+def test_bucketed_append_after_catalog_loss_keeps_old_deltas(spark, tmp_path):
+    """append_delta in a fresh session (catalog empty, delta files on
+    disk) must re-register and APPEND — not let saveAsTable's create-path
+    overwrite clobber the existing delta files."""
+    from pyspark.sql import functions as F
+    t, expected = _bucketed_fixture(spark, tmp_path, "bft4")
+    spark.sql(f"DROP TABLE {t.base_table}")
+    spark.sql(f"DROP TABLE {t.delta_table}")   # files stay (external)
+    d3 = spark.range(2).select(
+        F.concat(F.lit("https://h/u"), F.col("id")).alias("url"),
+        F.lit(3).alias("status"), F.lit("d3").alias("src"))
+    t.append_delta(spark, d3, version=3)
+    for i in range(2):
+        expected[f"https://h/u{i}"] = (3, "d3")
+    got = {r["url"]: (r["status"], r["src"])
+           for r in t.read(spark).collect()}
+    assert got == expected
+    t.drop(spark)
