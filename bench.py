@@ -64,7 +64,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# bench hosts have RAM to spare; the library default stays conservative
+# bench hosts have RAM to spare; the library default stays conservative.
+# An EXPLICITLY exported SPARK_DRIVER_MEM is remembered first so the
+# scaling legs can honor it (smaller hosts legitimately need < the 8g
+# leg default; see _run_leg).
+_USER_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM")
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
 # --leg mode: this process runs ONE scaling leg (fresh JVM, optionally
@@ -566,8 +570,10 @@ def _run_leg(spec: dict, timeout: float) -> dict | None:
         # 9.4/8.7 vs 7.0/6.0, sys% 2.2/2.6 vs 3.9/5.0).  The official
         # corpus (~146k pages, ~5.6 GB zstd) fits 8g with headroom at
         # every leg size — the 1-core leg processes the same data.
+        # precedence: BENCH_LEG_DRIVER_MEM > user-exported
+        # SPARK_DRIVER_MEM > the 8g leg default
         env["SPARK_DRIVER_MEM"] = os.environ.get(
-            "BENCH_LEG_DRIVER_MEM", "8g")
+            "BENCH_LEG_DRIVER_MEM", _USER_DRIVER_MEM or "8g")
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg",
@@ -694,7 +700,10 @@ def main():
 
 _PROBE_CODE = """
 import numpy as np, time
-a = np.zeros(25_000_000); b = np.zeros_like(a)   # 2 x 200 MB, DRAM-bound
+# np.ones, NOT np.zeros: an untouched zeros array maps every page to the
+# kernel's shared zero page, so the "read" stream would come from cache
+# and the probe would only exercise write bandwidth
+a = np.ones(25_000_000); b = np.ones(25_000_000)  # 2 x 200 MB, DRAM-bound
 best = 9e9
 for _ in range(3):
     t0 = time.perf_counter()
@@ -715,9 +724,10 @@ def _host_probe(pin_base: int) -> float | None:
     ten runs in the 0.77-0.93 band) inflates it.  Recorded in the
     artifact so a low official ratio is distinguishable from an engine
     regression without access to the box."""
+    ps: list = []
     try:
         def legs(n: int) -> list[float]:
-            ps = [subprocess.Popen(
+            ps[:] = [subprocess.Popen(
                 ["taskset", "-c", str(pin_base + i), sys.executable,
                  "-c", _PROBE_CODE], stdout=subprocess.PIPE, text=True)
                 for i in range(n)]
@@ -727,6 +737,12 @@ def _host_probe(pin_base: int) -> float | None:
         return round(max(four) / one, 3) if one > 0 else None
     except Exception:
         return None
+    finally:
+        # never leave an orphaned memcopy loop pinned to the cpus the
+        # timed legs are about to use
+        for p in ps:
+            if p.poll() is None:
+                p.kill()
 
 
 def run_scaling(out: dict) -> None:

@@ -147,19 +147,22 @@ _bdt.overwrite(spark, spark.range(2000).selectExpr(
     "concat('https://h/u', id) url", "cast(0 as int) status"), version=0)
 _bdt.append_delta(spark, spark.range(100).selectExpr(
     "concat('https://h/u', id) url", "cast(1 as int) status"), version=1)
+_prev_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-add("Bucketed frontier merge: merge-on-read with ZERO exchanges",
-    _bdt.read(spark),
-    "Base and deltas are written with Spark native bucketing on the url "
-    "key, so every scan reports HashPartitioning(url, n) and the whole "
-    "last-writer-wins merge — latest-delta-per-key window, delta-key "
-    "distinct, base anti-join — runs bucket-local: no Exchange node "
-    "anywhere in the plan, at any frontier size (broadcast disabled here "
-    "to show the at-scale SortMergeJoin shape; a 10^10-row frontier's "
-    "deltas wouldn't broadcast).  This is the Iceberg bucket-partitioned "
-    "merge-on-read shape named in VERDICT r03 as the last design gap.")
-spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-               str(32 * 1024 * 1024))
+try:
+    add("Bucketed frontier merge: merge-on-read with ZERO exchanges",
+        _bdt.read(spark),
+        "Base and deltas are written with Spark native bucketing on the "
+        "url key, so every scan reports HashPartitioning(url, n) and the "
+        "whole last-writer-wins merge — latest-delta-per-key window, "
+        "delta-key distinct, base anti-join — runs bucket-local: no "
+        "Exchange node anywhere in the plan, at any frontier size "
+        "(broadcast disabled here to show the at-scale SortMergeJoin "
+        "shape; a 10^10-row frontier's deltas wouldn't broadcast).  This "
+        "is the Iceberg bucket-partitioned merge-on-read shape named in "
+        "VERDICT r03 as the last design gap.")
+finally:
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _prev_abt)
 _bdt.drop(spark)
 
 with open("/root/repo/PLANS.md", "w") as f:

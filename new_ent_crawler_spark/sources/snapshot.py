@@ -162,6 +162,22 @@ class SnapshotTable:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
+def _lww_merge(base: DataFrame, deltas: DataFrame, key_col: str,
+               version_col: str) -> DataFrame:
+    """Last-writer-wins merge-on-read resolution shared by ``DeltaTable``
+    (shuffled/broadcast at sandbox scale) and ``BucketedDeltaTable``
+    (bucket-local, zero exchanges): base rows whose key has no delta row,
+    unioned with the latest delta row per key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    latest = (deltas.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn", version_col))
+    keep = base.join(deltas.select(key_col).distinct(), key_col, "left_anti")
+    return keep.unionByName(latest)
+
+
 class DeltaTable(SnapshotTable):
     """Merge-on-read extension: base dirs + keyed delta dirs with
     last-writer-wins resolution on ``key_col`` (the Iceberg equality-delete
@@ -254,8 +270,6 @@ class DeltaTable(SnapshotTable):
         return total
 
     def read(self, spark: SparkSession) -> DataFrame:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
         cur = self.current_snapshot()
         if cur is None or not cur["dirs"]:
             raise ValueError(f"table {self.path} has no current snapshot")
@@ -267,15 +281,8 @@ class DeltaTable(SnapshotTable):
         deltas = spark.read.parquet(*paths[n_base:])
         # LWW among the (small) deltas only; base rows are versionless —
         # any delta row for a key supersedes the base row
-        w = (Window.partitionBy(self.key_col)
-             .orderBy(F.col(self.VERSION_COL).desc()))
-        latest = (deltas.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1)
-                  .drop("_rn", self.VERSION_COL))
-        keep = (base.join(deltas.select(self.key_col).distinct(),
-                          self.key_col, "left_anti")
-                .drop(self.VERSION_COL))
-        return keep.unionByName(latest)
+        return _lww_merge(base.drop(self.VERSION_COL), deltas,
+                          self.key_col, self.VERSION_COL)
 
     def compact(self, spark: SparkSession, version: int,
                 n_files: int = 16) -> dict:
@@ -357,27 +364,50 @@ class BucketedDeltaTable:
 
     def overwrite(self, spark: SparkSession, df: DataFrame,
                   version: int = 0) -> None:
-        """(Re)write the base and clear deltas — the compaction shape."""
+        """Copy-on-write (re)write of the base + clear of the deltas — the
+        compaction shape.  The new base is fully materialized into a fresh
+        subdir BEFORE the old tables and files are dropped, so a
+        compaction may read the table it is rewriting
+        (``t.overwrite(spark, t.read(spark))``) without its lazy input
+        plan scanning already-deleted files."""
+        tagged = self._tag(df, version)
+        tmp_sub = "base_new_" + uuid.uuid4().hex[:8]
+        tmp_table = f"{self.base_table}_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        self._save(tagged, tmp_table, tmp_sub, "overwrite")  # runs the plan
+        # the input is now safely on disk; swap it in
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
         spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")
         spark.sql(f"DROP TABLE IF EXISTS {self.delta_table}")
         for sub in ("base", "deltas"):
             shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-        tagged = self._tag(df, version)
-        self._save(tagged, self.base_table, "base", "overwrite")
+        os.rename(os.path.join(self.path, tmp_sub),
+                  os.path.join(self.path, "base"))
         with open(self._spec_path, "w") as f:
             json.dump({"key_col": self.key_col, "buckets": self.buckets,
                        "schema_ddl": tagged.schema.toDDL()}, f)
+        self.register(spark)
+
+    def _ensure_registered(self, spark: SparkSession) -> None:
+        """Fresh-session guard: if the spec exists but a catalog entry for
+        on-disk files is missing, re-register before touching the table."""
+        if not os.path.exists(self._spec_path):
+            return
+        base_missing = (os.path.isdir(os.path.join(self.path, "base"))
+                        and not spark.catalog.tableExists(self.base_table))
+        delta_missing = (os.path.isdir(os.path.join(self.path, "deltas"))
+                         and not spark.catalog.tableExists(self.delta_table))
+        if base_missing or delta_missing:
+            self.register(spark)
 
     def append_delta(self, spark: SparkSession, df: DataFrame,
                      version: int) -> None:
         """O(delta) keyed append; resolution is deferred to ``read`` (the
         merge-on-read contract).  Append keeps the bucket spec, so delta
         files stay join-aligned with the base."""
-        if not spark.catalog.tableExists(self.delta_table) and \
-                os.path.isdir(os.path.join(self.path, "deltas")):
-            # fresh session, files on disk: re-register instead of letting
-            # the "overwrite" create below clobber the existing deltas
-            self.register(spark)
+        # fresh session, files on disk: re-register instead of letting the
+        # "overwrite" create below clobber the existing deltas
+        self._ensure_registered(spark)
         mode = ("append" if spark.catalog.tableExists(self.delta_table)
                 else "overwrite")
         self._save(self._tag(df, version), self.delta_table, "deltas", mode)
@@ -406,20 +436,12 @@ class BucketedDeltaTable:
         ``HashPartitioning(key, buckets)``: the latest-per-key window, the
         delta-key distinct, and the base anti-join all run bucket-local —
         no exchange at any frontier size."""
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+        self._ensure_registered(spark)
         base = spark.table(self.base_table).drop(self.VERSION_COL)
         if not spark.catalog.tableExists(self.delta_table):
             return base
-        deltas = spark.table(self.delta_table)
-        w = (Window.partitionBy(self.key_col)
-             .orderBy(F.col(self.VERSION_COL).desc()))
-        latest = (deltas.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") == 1)
-                  .drop("_rn", self.VERSION_COL))
-        keep = base.join(deltas.select(self.key_col).distinct(),
-                         self.key_col, "left_anti")
-        return keep.unionByName(latest)
+        return _lww_merge(base, spark.table(self.delta_table),
+                          self.key_col, self.VERSION_COL)
 
     def drop(self, spark: SparkSession) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")

@@ -182,3 +182,41 @@ def test_bucketed_append_after_catalog_loss_keeps_old_deltas(spark, tmp_path):
            for r in t.read(spark).collect()}
     assert got == expected
     t.drop(spark)
+
+
+def test_bucketed_read_then_overwrite_compaction(spark, tmp_path):
+    """The compaction shape its docstring invites: overwrite(read()) must
+    materialize the new base BEFORE dropping the old files — the lazy
+    input plan must never scan already-deleted files (found live: the
+    pre-fix code lost the whole table on this call)."""
+    t, expected = _bucketed_fixture(spark, tmp_path, "bft5")
+    t.overwrite(spark, t.read(spark), version=9)
+    got = {r["url"]: (r["status"], r["src"])
+           for r in t.read(spark).collect()}
+    assert got == expected
+    # deltas are folded in: the read is now a pure bucketed base scan
+    assert not spark.catalog.tableExists(t.delta_table)
+    t.drop(spark)
+
+
+def test_bucketed_read_in_fresh_session_self_registers(spark, tmp_path):
+    """read() after catalog loss (fresh session) must re-register from the
+    stored spec instead of raising TABLE_OR_VIEW_NOT_FOUND — including the
+    base-only layout (no deltas dir)."""
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
+    t = BucketedDeltaTable(str(tmp_path / "bo"), name="bft6",
+                           key_col="url", buckets=4)
+    base = spark.range(10).select(
+        F.concat(F.lit("u"), "id").alias("url"), F.lit(0).alias("status"))
+    t.overwrite(spark, base, version=0)
+    spark.sql(f"DROP TABLE {t.base_table}")      # catalog loss, files stay
+    assert t.read(spark).count() == 10           # self-registers
+    spark.sql(f"DROP TABLE {t.base_table}")
+    d1 = spark.range(3).select(
+        F.concat(F.lit("u"), "id").alias("url"), F.lit(1).alias("status"))
+    t.append_delta(spark, d1, version=1)         # base-only + new deltas
+    rows = {r["url"]: r["status"] for r in t.read(spark).collect()}
+    assert rows == {f"u{i}": (1 if i < 3 else 0) for i in range(10)}
+    t.drop(spark)
