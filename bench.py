@@ -354,7 +354,16 @@ def _spread_legs(schedule: list, runner, deadline: float,
     for key in schedule:
         run_one(key)
     while topup_cycle:
-        if not any([run_one(k, mark_skip=False) for k in topup_cycle]):
+        # gate balance: both scaling ratios are official gates, so spend
+        # remaining budget on whichever gate key has the FEWEST completed
+        # samples (ties break by topup_cycle order — list the higher-
+        # variance key first).  r04's fixed-order cycle gave crawl its
+        # third 4N sample while parse_4n sat at one; the gate metric that
+        # most needed min-of-N got the least of it.
+        order = sorted(topup_cycle, key=lambda k: (
+            sum(1 for d in results.get(k, []) if d),
+            topup_cycle.index(k)))
+        if not any([run_one(k, mark_skip=False) for k in order]):
             break
     results["budget_stopped"] = state["budget_skipped"]
     return results
@@ -455,24 +464,44 @@ def run_parse_stage(cpus: int, web_dir: str, tag: str,
     spark = _quiet(get_spark(app=f"parse-bench-{tag}", cpus=cpus,
                              shuffle_partitions=max(2 * cpus, 8),
                              extra_conf=_bench_conf()))
-    pages = spark.read.parquet(os.path.join(web_dir, "pages.parquet"))
-    rows = pages.select(
-        "url", "html",
-        F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
-        F.lit(None).cast("string").alias("company"),
-        F.lit(0).cast("long").alias("seed_id"),
-        F.lit(None).cast("string").alias("keyword"),
-        F.lit(0).alias("depth"), F.lit(1).alias("priority"),
-        F.lit(0).alias("page_type_score"),
-        F.lit(0).cast("long").alias("enqueue_wave"),
-        F.lit(0).cast("int").alias("crawler_count"))
-    PS.tune_arrow_batch(spark, pages)
+    pq = os.path.join(web_dir, "pages.parquet")
+    pages = spark.read.parquet(pq)
+
+    def project(df):
+        return df.select(
+            "url", "html",
+            F.regexp_extract("url", r"^https?://([^/]*)", 1).alias("host"),
+            F.lit(None).cast("string").alias("company"),
+            F.lit(0).cast("long").alias("seed_id"),
+            F.lit(None).cast("string").alias("keyword"),
+            F.lit(0).alias("depth"), F.lit(1).alias("priority"),
+            F.lit(0).alias("page_type_score"),
+            F.lit(0).cast("long").alias("enqueue_wave"),
+            F.lit(0).cast("int").alias("crawler_count"))
+
+    rows = project(pages)
+    # Arrow batch sizing from parquet FOOTERS (driver-side ms).  The
+    # sampling fallback's `limit(512)` job is NOT cheap here: LocalLimit
+    # applies per split, and with 16 MB splits every split holds < 512
+    # rows, so the "sample" decompressed the html column of the ENTIRE
+    # corpus — ~100 s of untimed overhead on the pinned 1-core leg (r04
+    # parse_n wall 385 s vs 189 s timed), budget that the gate-critical
+    # 4N samples then couldn't use.
+    if PS.tune_arrow_batch_from_footer(spark, pq) is None:
+        PS.tune_arrow_batch(spark, pages)
 
     def one_pass():
         _exec(PS.parse_pages(rows).select("url", "status", "text", "links"))
 
-    # warm the session (codegen + python workers) outside the timer
-    _exec(PS.parse_pages(rows.limit(4096)))
+    # warm the session (codegen + python workers) outside the timer.
+    # Bound the warmup scan to ONE part-file: `rows.limit(4096)` reads
+    # every split (LocalLimit per split, ~400 rows each) — a full-corpus
+    # decompress per leg, worst on the 1-core leg (same failure mode as
+    # the sampling tuner above).
+    import glob as _glob
+    parts = sorted(_glob.glob(os.path.join(pq, "part-*")))[:1]
+    warm = project(spark.read.parquet(*parts)) if parts else rows
+    _exec(PS.parse_pages(warm.limit(4096)))
     samples: list[float] = []
     ticks0 = _cpu_ticks()
     if loops is None:
@@ -892,13 +921,19 @@ def run_scaling(out: dict) -> None:
     # multi-core sample + parse-loop calibration), the stable N baselines
     # spread through the middle (they double as temporal gaps between 4N
     # samples), 4N legs alternating crawl/parse throughout, then the
-    # top-up cycle spends whatever budget remains.  On a clean-host run
-    # with official defaults the crawl 4N samples land ~8-10 minutes
-    # apart across ~30 minutes — a contention window now has to cover the
-    # entire run to contaminate every sample of either phase.
-    schedule = (["crawl_4n", "parse_4n", "crawl_n", "crawl_4n", "parse_n"]
+    # top-up cycle spends whatever budget remains.  Both gate metrics get
+    # their SECOND 4N sample before either gets a third (r04 ordered
+    # crawl's extras ahead of parse's and the budget ran out with
+    # parse_4n at one budget-stopped sample — the 0.783 official row
+    # against engine-side 0.9-1.0); parse_4n #2 also precedes the
+    # expensive parse_n leg so a mid-run budget squeeze can't strand the
+    # calibrated-loops samples at one.  On a clean-host run the 4N
+    # samples of each kind land ~8-10 minutes apart across ~30 minutes —
+    # a contention window has to cover the entire run to contaminate
+    # every sample of either phase.
+    schedule = (["crawl_4n", "parse_4n", "crawl_n", "parse_4n", "crawl_4n"]
                 + ["crawl_n"] * (n_samples - 1)
-                + ["crawl_4n", "parse_4n", "crawl_4n", "parse_4n"])
+                + ["parse_n"])
     caps = {"crawl_n": n_samples,
             "parse_n": max(1, int(os.environ.get(
                 "BENCH_PARSE_N_SAMPLES", "1"))),
@@ -911,7 +946,7 @@ def run_scaling(out: dict) -> None:
              "parse_n": 260.0, "parse_4n": 230.0}
     results = _spread_legs(schedule, runner, deadline, walls, caps=caps,
                            on_leg=on_leg,
-                           topup_cycle=("crawl_4n", "parse_4n"))
+                           topup_cycle=("parse_4n", "crawl_4n"))
     if results.get("budget_stopped") and "crawl" in out:
         out["crawl"]["budget_stopped"] = True
     out.setdefault("crawl", {"error": "no crawl leg completed"})

@@ -103,6 +103,43 @@ def test_topup_cycle_fills_remaining_budget_until_caps(bench):
     assert res["budget_stopped"] is False  # top-up exhaustion != budget stop
 
 
+def test_topup_balances_gate_keys_by_sample_count(bench):
+    """Top-up budget goes to whichever gate key has FEWER completed
+    samples (r04 post-mortem: fixed-order top-up gave crawl a third 4N
+    sample while parse_4n sat at one).  Starting from a=2, b=1 completed
+    legs, the next top-up leg must be b, and counts must stay within one
+    of each other while budget remains."""
+    calls = []
+
+    def runner(key, i):
+        time.sleep(0.02)
+        calls.append(key)
+        return dict(_leg(1.0, 4), leg_wall_s=0.02)
+
+    res = bench._spread_legs(["a", "a", "b"], runner,
+                             bench._elapsed() + 5.0,
+                             {"a": 0.02, "b": 0.02},
+                             caps={"a": 4, "b": 4},
+                             topup_cycle=("b", "a"))
+    assert calls[3] == "b"  # b catches up before a's third sample
+    assert len(res["a"]) == 4 and len(res["b"]) == 4
+
+
+def test_official_schedule_gives_both_gates_two_4n_legs_early(bench):
+    """The official schedule must request the SECOND 4N sample of each
+    gate metric before any third 4N leg and before the parse_n leg, so a
+    mid-run budget squeeze leaves both ratios with min-of-2 (the r04
+    artifact stranded parse_4n at one budget-stopped sample)."""
+    import re
+    src = open(os.path.join(REPO, "bench.py")).read()
+    m = re.search(r"schedule = \(\[([^\]]*)\]", src)
+    head = [s.strip().strip('"\'') for s in m.group(1).split(",")]
+    assert head.index("parse_4n", head.index("parse_4n") + 1) \
+        < head.index("crawl_4n", head.index("crawl_4n") + 1)
+    assert "parse_n" not in head[:head.index("parse_4n",
+                                             head.index("parse_4n") + 1)]
+
+
 def test_on_leg_checkpoints_after_every_leg(bench):
     """on_leg must fire after EVERY completed leg so best-so-far state is
     flushable at any kill point."""
