@@ -85,8 +85,15 @@ def _q_dedup_last_writer_wins(spark, sf):
 
 
 def _q_seen_set_anti_join(spark, sf):
+    """Customers with no order since 1998 — the URL-seen anti-join shape
+    (operators/dedup.py::prune_seen's exact arm).  The pre-r05 version
+    anti-joined against ALL orders, which is empty at every SF (every
+    customer has an order) — a broken anti-join returning no rows would
+    have passed; the date filter makes the expected result non-empty and
+    discriminating."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = (_t(spark, sf, "orders")
+         .filter(F.col("o_orderdate") >= "1998-01-01"))
     return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
                    "c_custkey", "left_anti")
             .select("c_custkey"))
@@ -309,38 +316,20 @@ _BANDS = 3
 
 
 def _q_minhash_signatures(spark, sf):
-    """Portable minhash: per doc, min md5(seed:shingle) hex string per seed
-    (md5 is the hash both engines share)."""
-    arrs = DT.shingle_arrays(_t(spark, sf, "documents"), k=_SHINGLE_K)
-    # in-row array_min over the per-doc shingle array: identical result to
-    # min() over the exploded relation (both lexicographic string min) with
-    # zero shuffles — see DT.minhash_signatures
-    return arrs.select(
-        "doc_id",
-        *[F.array_min(F.transform(
-            "shs", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
-          .alias(f"h{i}") for i in range(_MINHASHES)])
+    """Portable minhash (Kirsch-Mitzenmacher md5 family — one md5 per
+    shingle, K derived functions, one aggregate pass; see
+    operators/dedup_text.py::minhash_signatures).  md5 is the hash both
+    engines share, so the DuckDB oracle rebuilds every signature exactly."""
+    return DT.minhash_signatures(_t(spark, sf, "documents"),
+                                 k=_SHINGLE_K, num_hashes=_MINHASHES)
 
 
 def _q_minhash_lsh_pairs(spark, sf):
-    sig = _q_minhash_signatures(spark, sf)
-    rows_per_band = _MINHASHES // _BANDS
-    frames = []
-    for b in range(_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        frames.append(sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key")))
-    banded = frames[0]
-    for fr in frames[1:]:
-        banded = banded.unionByName(fr)
-    a, b2 = banded.alias("a"), banded.alias("b")
-    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-            .distinct())
+    """Banded-LSH candidate pairs over the KM signatures — the engine
+    operator itself (bucket collect_set + bucket-local pairing, one
+    shuffle by band key), exact semantics (no bucket cap)."""
+    return DT.minhash_lsh_pairs(_t(spark, sf, "documents"), k=_SHINGLE_K,
+                                num_hashes=_MINHASHES, bands=_BANDS)
 
 
 def _q_ngram_jaccard_pairs(spark, sf):
@@ -524,8 +513,10 @@ def _q_approx_quantiles(spark, sf):
     so the checked surface is (a) the exact interpolated quantiles from
     the same data and (b) per-group booleans asserting the sketch's rank
     contract held — the empirical rank of the approx p-quantile (fraction
-    of values ≤ it, one broadcast-join pass, no sort) is within 0.01 of p
-    (accuracy=10000 → rank error ≤ 1e-4, plus 1/n tie granularity).  The
+    of values ≤ it, one broadcast-join pass, no sort) is within
+    0.01 + the group's largest tie fraction of p (accuracy=10000 → rank
+    error ≤ 1e-4; the tie term covers the corpus-dependent step height of
+    the empirical CDF — see the inline note).  The
     oracle returns the same exact quantiles (quantile_cont: both engines
     interpolate at rank (n-1)p) with constant-true bounds."""
     ev = _t(spark, sf, "events")
@@ -541,12 +532,24 @@ def _q_approx_quantiles(spark, sf):
                    / F.first("n_events")).alias("r50"),
                   (F.sum((F.col("value") <= F.col("ap90")).cast("long"))
                    / F.first("n_events")).alias("r90")))
-    return (agg.join(ranks, "event_type")
+    # Tie-aware bound: the empirical rank of ANY point lands on a step of
+    # height (tie mass)/n, so the achievable deviation from p is bounded
+    # below by the largest per-group tie fraction — a corpus property, not
+    # a sketch property.  A fixed 0.01 happened to clear the current
+    # corpus (worst tie ~1.06% of one group, worst deviation 0.0075) but
+    # would spuriously fail on a seed/scale with a heavier tie at the
+    # p50/p90 rank; 0.01 + tie_frac tests the sketch contract itself.
+    ties = (ev.groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("event_type")
+            .agg((F.max("c") / F.sum("c")).alias("tie_frac")))
+    bound = F.lit(0.01) + F.col("tie_frac")
+    return (agg.join(ranks, "event_type").join(ties, "event_type")
             .select("event_type", "n_events",
                     F.round("ex50", 4).alias("exact_p50"),
                     F.round("ex90", 4).alias("exact_p90"),
-                    (F.abs(F.col("r50") - 0.5) <= 0.01).alias("rank_ok_p50"),
-                    (F.abs(F.col("r90") - 0.9) <= 0.01).alias("rank_ok_p90")))
+                    (F.abs(F.col("r50") - 0.5) <= bound).alias("rank_ok_p50"),
+                    (F.abs(F.col("r90") - 0.9) <= bound).alias("rank_ok_p90")))
 
 
 def _q_multimodal_features(spark, sf):
@@ -1510,9 +1513,18 @@ _SHINGLES_SQL = f"""
     )
 """
 
-_MINHASH_SIG_SQL = _SHINGLES_SQL + ", sig AS (SELECT doc_id, " + ", ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASHES)
-) + " FROM sh GROUP BY doc_id)"
+# Kirsch-Mitzenmacher minhash family (operators/dedup_text.py::
+# minhash_signatures): ONE md5 per shingle, two 56-bit base hashes from
+# its hex, K functions derived as h1 + i*h2 (exact in signed 64-bit).
+# DuckDB's CAST('0x'||hex AS BIGINT) == Spark's conv(hex,16,10)::long.
+_MINHASH_SIG_SQL = _SHINGLES_SQL + """, kmb AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) AS b1,
+               CAST('0x' || substr(md5(shingle), 17, 14) AS BIGINT) AS b2
+        FROM sh
+    ), sig AS (SELECT doc_id, """ + ", ".join(
+    f"min(b1 + {i} * b2) AS h{i}" for i in range(_MINHASHES)
+) + " FROM kmb GROUP BY doc_id)"
 
 # DuckDB replica of operators/dedup_text.py::simhash: 60-bit fingerprint
 # from md5-derived token hashes (CAST('0x'||hex AS BIGINT) == Spark's
@@ -1665,7 +1677,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sig".format(
             b=b,
             key=" || '|' || ".join(
-                f"h{b * rows_per_band + r}" for r in range(rows_per_band)))
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)))
         for b in range(_BANDS))
     return {
         "frontier_topk_per_host": """
@@ -1686,7 +1699,8 @@ def oracle_sql() -> dict[str, str]:
         "seen_set_anti_join": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = c.c_custkey)
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= DATE '1998-01-01')
         """,
         "semi_join_active": """
             SELECT c_custkey FROM customer c

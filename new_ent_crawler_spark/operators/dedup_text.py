@@ -98,13 +98,26 @@ def word_shingles(docs: DataFrame, id_col="doc_id", text_col="text",
 
 
 def jaccard_pairs_from_shingle_arrays(arrs: DataFrame, threshold: float,
-                                      max_shingle_freq: int) -> DataFrame:
+                                      max_shingle_freq: int,
+                                      hash_shingles: bool = True) -> DataFrame:
     """Posting-list Jaccard over (doc_id, shs array): per-doc sizes are a
     free ``F.size`` (no count shuffle), ONE shuffle by shingle builds the
     posting lists, pair counts come from the bucket-local double-explode
     bounded by ``max_shingle_freq``^2, then sizes join back.  Shared by the
-    char-shingle and word-shingle entry points."""
-    arrs = arrs.persist()
+    char-shingle and word-shingle entry points.
+
+    ``hash_shingles`` (default on) maps each shingle to its xxhash64
+    in-row BEFORE the explode, so the posting-list exchange moves 8-byte
+    ints instead of shingle strings (8-25+ bytes each) — the one shuffle
+    here is the operator's dominant cost at scale.  Intersection counts
+    are unchanged unless two distinct shingles of the same doc pair
+    collide in 64 bits (P ~ n_distinct^2 / 2^64 — ~1e-6 at 10^6 distinct
+    shingles, and a collision shifts one pair's count by 1); pass False
+    for the exact-string path."""
+    if hash_shingles:
+        arrs = arrs.withColumn(
+            "shs", F.transform("shs", lambda s: F.xxhash64(s)))
+    arrs = arrs.persist()  # shared by the sizes and posting-list branches
     sizes = arrs.select("doc_id", F.size("shs").alias("n_sh"))
     sh = arrs.select("doc_id", F.explode("shs").alias("shingle"))
     buckets = (sh.groupBy("shingle")
@@ -159,24 +172,75 @@ def _hash64(col, seed: int):
                               1, 15), 16, 10).cast("long")
 
 
-def minhash_signatures(docs: DataFrame, k: int = 8,
-                       num_hashes: int = 16) -> DataFrame:
-    """(doc_id, h0..h{n-1}) minhash signature via md5-salted min-hashes.
+# Sentinel above every achievable Kirsch-Mitzenmacher hash value
+# (h1 + i*h2 < 2^60 for i < 16 with 56-bit bases) — the aggregate's
+# zero element for the running minimum.
+_KM_INF = 1 << 62
 
-    Computed entirely in-row from the per-doc shingle array
-    (``array_min`` over a ``transform``) — the signature step needs NO
-    shuffle at all; ``F.min`` over an exploded relation would shuffle one
-    row per (doc, shingle) just to re-group what was already row-local."""
-    arrs = shingle_arrays(docs, k=k)
-    return arrs.select(
-        "doc_id",
-        *[F.array_min(F.transform("shs", lambda s: _hash64(s, i)))
-          .alias(f"h{i}") for i in range(num_hashes)])
+
+# The K minhash functions are derived from TWO base hashes per shingle as
+# h1 + i*h2 (Kirsch & Mitzenmacher, "Less hashing, same performance:
+# building a better Bloom filter", ESA 2006 — two base hashes stand in
+# for K independent ones).  md5 family (default): h1/h2 are 14-hex-char
+# (56-bit) slices of ONE md5, so h1 + 15*h2 < 2^60 stays exact in a
+# signed 64-bit integer and the DuckDB oracle reproduces every signature
+# bit-for-bit.  xxhash64 family: the engine path at scale — two seeded
+# xxhash64 calls (JVM-side, no hex round-trip), masked to 56 bits for the
+# same overflow-free derivation; not SQL-oracle-portable.
+def minhash_signatures(docs: DataFrame, k: int = 8,
+                       num_hashes: int = 16,
+                       hash_family: str = "md5",
+                       id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, h0..h{n-1}) minhash signature, one hash + one fold.
+
+    Computed entirely in-row — the signature step needs NO shuffle at
+    all — in three narrow array passes over the k-shingle positions:
+    hash every position's shingle once, derive the two KM base hashes,
+    then a single ``aggregate`` folds the array into all K running
+    minima at once (``zip_with``/``least`` against the K derived hashes
+    of each shingle).  No shingle-string array and no ``array_distinct``
+    are materialized: min over the position multiset equals min over the
+    distinct-shingle set, so the dedup pass ``shingle_arrays`` pays
+    (needed for Jaccard set sizes) is pure waste here.  The r03 shape
+    (K separate ``array_min(transform)`` passes, each with its own
+    salted md5) traversed the array K times and hashed every shingle K
+    times — 2.2x the whole-query cost at sf0.1."""
+    base = (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    normalized_text(text_col).alias("t"))
+            .filter(F.length("t") >= k))
+    if hash_family == "xxhash64":
+        mask = (1 << 56) - 1
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.length("t") - F.lit(k - 1)),
+            lambda i: F.struct(
+                F.xxhash64(F.col("t").substr(i, F.lit(k)))
+                .bitwiseAND(F.lit(mask)).alias("h1"),
+                F.xxhash64(F.col("t").substr(i, F.lit(k)), F.lit(1))
+                .bitwiseAND(F.lit(mask)).alias("h2")))
+    else:
+        md5s = F.transform(
+            F.sequence(F.lit(1), F.length("t") - F.lit(k - 1)),
+            lambda i: F.md5(F.col("t").substr(i, F.lit(k))))
+        pairs = F.transform(md5s, lambda m: F.struct(
+            F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("h2")))
+    sig = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(_KM_INF).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                        lambda i: p["h1"] + i.cast("long") * p["h2"]),
+            lambda a, b: F.least(a, b)))
+    return base.select(
+        "doc_id", *[sig[i].alias(f"h{i}") for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
                       bands: int = 4,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      hash_family: str = "md5") -> DataFrame:
     """Candidate near-dup pairs: equal band-key in any band.
 
     rows_per_band = num_hashes/bands; the band key is the md5 of the band's
@@ -191,7 +255,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, num_hashes: int = 16,
     banded-LSH semantics; opt into the cap at scale, where a bucket that
     big is exact-dup mass that ``exact_dedup`` already handles.
     """
-    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes).persist()
+    sig = minhash_signatures(docs, k=k, num_hashes=num_hashes,
+                             hash_family=hash_family).persist()
     rows_per_band = num_hashes // bands
     band_frames = []
     for b in range(bands):
