@@ -11,9 +11,12 @@ baseline JPEG — grayscale and 4:4:4 YCbCr color (Annex K Huffman tables,
 zigzag, dequant, IDCT, byte stuffing, RSTn) — GIF87a/89a (variable-width
 LZW, global/local color tables, extension skipping), PCM WAV
 (chunk-walking RIFF parse, 8/16-bit, any channel count), and
-uncompressed-DIB AVI video (hdrl/movi/idx1 chunk walk, frame sampling).  Codecs that genuinely need
-libraries this container doesn't ship (MP3/AAC, progressive/subsampled
-JPEG, compressed video) raise ``NotImplementedError`` unless
+uncompressed-DIB AVI video (hdrl/movi/idx1 chunk walk, frame sampling),
+and an MP3 frame-HEADER scanner (ID3v2 skip, sync scan, Table B.1
+bitrate walk — duration/bitrate metadata without audio decode).  Codecs
+that genuinely need libraries this container doesn't ship (MP3/AAC
+audio decode, progressive/subsampled JPEG, compressed video) raise
+``NotImplementedError`` unless
 ``deterministic_fake=True``, which derives stable pseudo-features from
 the md5 of the payload so the distributed pipeline is exercisable end to
 end over any byte stream.
@@ -425,6 +428,151 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
             + b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# -- MP3: real frame-HEADER scan (no audio decode) --------------------------
+#
+# An MPEG-1 Audio Layer III stream is a sequence of self-describing frames:
+# a 4-byte header (11-bit sync, version, layer, bitrate index, sample-rate
+# index, padding bit) followed by a payload whose length is fully
+# determined by the header — frame_len = 144 * bitrate / sample_rate +
+# padding (ISO/IEC 11172-3).  Duration/bitrate/frame-count features
+# therefore need only a header WALK, never a Huffman/MDCT decode: exactly
+# the metadata pass a 100 TB audio-column pipeline runs before deciding
+# what to transcode.  Full MP3 audio decode stays NotImplementedError.
+
+# ISO/IEC 11172-3 Table B.1, MPEG-1 Layer III column (kbps); index 0 is
+# "free format", index 15 forbidden.
+_MP3_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+             224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)  # sample-rate index 3 reserved
+_MP3_SPF = 1152  # samples per MPEG-1 Layer III frame
+
+
+def scan_mp3_headers(payload: bytes) -> dict:
+    """Frame-header walk of an MPEG-1 Layer III stream.
+
+    Skips a leading ID3v2 tag (syncsafe 28-bit size), sync-scans to the
+    first 0xFFEx header, then hops frame to frame via the computed frame
+    lengths.  Returns ``n_frames``, ``n_bytes`` (whole payload),
+    ``sample_rate``, ``duration_ms`` (n_frames*1152*1000 // rate),
+    ``sum_kbps`` (sum of per-frame bitrates — VBR-aware, mean is
+    sum/n), and ``hdr_md5`` (md5 of the concatenated 8-hex-char frame
+    headers — any header mis-pack/mis-parse breaks it).  Non-MPEG-1 or
+    non-Layer-III frames raise ``NotImplementedError`` (loud-fail, same
+    contract as the other codecs); free-format/forbidden bitrate or a
+    reserved sample-rate index raise ``ValueError``."""
+    pos, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    # sync-scan (real-world streams carry junk before the first frame)
+    while pos + 4 <= n and not (payload[pos] == 0xFF
+                                and payload[pos + 1] & 0xE0 == 0xE0):
+        pos += 1
+    frames, sum_kbps, rate, hdrs = 0, 0, None, []
+    while pos + 4 <= n:
+        b1, b2 = payload[pos + 1], payload[pos + 2]
+        if payload[pos] != 0xFF or b1 & 0xE0 != 0xE0:
+            break  # trailing tag/junk after the last frame
+        if b1 & 0x18 != 0x18 or b1 & 0x06 != 0x02:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III headers are scanned here")
+        bidx, ridx, pad = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free-format/forbidden bitrate or reserved "
+                             "sample-rate index")
+        kbps, r = _MP3_KBPS[bidx], _MP3_RATES[ridx]
+        if rate is None:
+            rate = r
+        flen = (144_000 * kbps) // r + pad
+        hdrs.append(payload[pos:pos + 4].hex())
+        frames += 1
+        sum_kbps += kbps
+        pos += flen
+    return {"n_frames": frames, "n_bytes": n,
+            "sample_rate": rate or 0,
+            "duration_ms": (frames * _MP3_SPF * 1000) // rate if rate else 0,
+            "sum_kbps": sum_kbps,
+            "hdr_md5": hashlib.md5("".join(hdrs).encode()).hexdigest()}
+
+
+def encode_mp3_stream(frame_specs, sample_rate: int = 44100,
+                      id3_body: bytes = b"") -> bytes:
+    """Deterministic MPEG-1 Layer III STREAM (valid headers + filler
+    payloads) for the header-scan path: an optional ID3v2.3 tag, then one
+    frame per ``(bitrate_idx, padding, filler_seed)`` spec.  The payload
+    bytes are repeated md5 filler — not decodable audio (that would need
+    a real psychoacoustic encoder) — but every header field, frame
+    length, and byte offset is exactly per spec, which is the entire
+    surface :func:`scan_mp3_headers` reads."""
+    rate_idx = _MP3_RATES.index(sample_rate)
+    out = []
+    if id3_body:
+        size = len(id3_body)
+        out.append(b"ID3" + bytes([3, 0, 0,
+                                   (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                                   (size >> 7) & 0x7F, size & 0x7F])
+                   + id3_body)
+    for bidx, pad, seed in frame_specs:
+        hdr = bytes([0xFF, 0xFB,
+                     (bidx << 4) | (rate_idx << 2) | (pad << 1), 0xC4])
+        flen = (144_000 * _MP3_KBPS[bidx]) // sample_rate + pad
+        filler = (hashlib.md5(seed).digest()
+                  * (flen // 16 + 1))[:flen - 4]
+        out.append(hdr + filler)
+    return b"".join(out)
+
+
+def mp3_header_features(ids: DataFrame) -> DataFrame:
+    """Synthesize -> header-scan through the REAL MP3 frame walker,
+    mirroring :func:`wav_roundtrip_features` for the compressed-audio
+    column type (the reference crawler stores opaque media bytes; this is
+    the metadata pass over them).
+
+    Per id, worker-side: a VBR stream of ``6 + doc_id % 5`` frames whose
+    bitrate index and padding bit derive from ``md5(f"{doc_id}:mp3:{f}")``
+    (index 1 + b0 % 14 — every legal Table B.1 row exercised — padding
+    b1 % 2), behind a 22-byte ID3v2.3 tag, serialized with
+    :func:`encode_mp3_stream` and walked back by
+    :func:`scan_mp3_headers`.  Emits frame count, total bytes, duration,
+    bitrate sum, and the header digest; the DuckDB oracle reproduces all
+    of them from md5 hex arithmetic + the Table B.1 CASE — a defect in
+    header packing, the bitrate table, syncsafe tag skip, or the frame-
+    length formula breaks the row."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("sum_kbps", T.LongType(), False),
+        T.StructField("hdr_md5", T.StringType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                specs = []
+                for f in range(6 + did % 5):
+                    d = hashlib.md5(f"{did}:mp3:{f}".encode()).digest()
+                    specs.append((1 + d[0] % 14, d[1] % 2,
+                                  f"{did}:mp3fill:{f}".encode()))
+                stream = encode_mp3_stream(
+                    specs, id3_body=hashlib.md5(
+                        f"{did}:id3".encode()).digest()[:11] * 2)
+                s = scan_mp3_headers(stream)
+                rows.append((did, s["n_frames"], s["n_bytes"],
+                             s["sample_rate"], s["duration_ms"],
+                             s["sum_kbps"], s["hdr_md5"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return ids.select("doc_id").mapInPandas(run, schema=out_schema)
 
 
 # -- JPEG: real baseline codec (grayscale, pure numpy) ----------------------

@@ -700,6 +700,49 @@ def test_gif_roundtrip_features_matches_hand_computation(spark):
 
 # -- property tests: codec round trips over arbitrary content ---------------
 
+def test_mp3_header_scan_hand_built_stream():
+    # two frames, fixed 128 kbps (idx 9) no padding + 320 kbps (idx 14)
+    # padded, hand-checked lengths per ISO/IEC 11172-3:
+    # 144000*128//44100 = 417, 144000*320//44100 + 1 = 1045
+    stream = MM.encode_mp3_stream([(9, 0, b"a"), (14, 1, b"b")])
+    s = MM.scan_mp3_headers(stream)
+    assert s["n_frames"] == 2
+    assert s["n_bytes"] == 417 + 1045
+    assert s["sample_rate"] == 44100
+    assert s["duration_ms"] == 2 * 1152 * 1000 // 44100
+    assert s["sum_kbps"] == 128 + 320
+    hdrs = stream[0:4].hex() + stream[417:421].hex()
+    assert s["hdr_md5"] == hashlib.md5(hdrs.encode()).hexdigest()
+
+
+def test_mp3_header_scan_skips_id3_and_junk():
+    body = b"x" * 200  # ID3 size uses the syncsafe 7-bit encoding
+    tagged = MM.encode_mp3_stream([(1, 0, b"s")], id3_body=body)
+    assert MM.scan_mp3_headers(tagged)["n_frames"] == 1
+    # junk between tag and first sync must be scanned over
+    junk = tagged[:10 + 200] + b"\x00\x12\x34" + tagged[10 + 200:]
+    assert MM.scan_mp3_headers(junk)["n_frames"] == 1
+    # trailing non-sync bytes (e.g. an ID3v1 tag) end the walk cleanly
+    assert MM.scan_mp3_headers(tagged + b"TAG" + b"\x00" * 125)[
+        "n_frames"] == 1
+
+
+def test_mp3_header_scan_honest_stubs():
+    frame = bytearray(MM.encode_mp3_stream([(9, 0, b"a")]))
+    layer2 = bytearray(frame)
+    layer2[1] = 0xFD  # Layer II bits
+    with pytest.raises(NotImplementedError):
+        MM.scan_mp3_headers(bytes(layer2))
+    free = bytearray(frame)
+    free[2] = 0x00  # free-format bitrate index
+    with pytest.raises(ValueError):
+        MM.scan_mp3_headers(bytes(free))
+    # full MP3 AUDIO decode stays out of scope: the audio decoder only
+    # accepts RIFF/WAVE payloads
+    with pytest.raises(ValueError):
+        MM.decode_audio(bytes(frame))
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
