@@ -138,6 +138,7 @@ add("CDX revisit classification: max-aggregate, no window sort",
     "sort of every historical capture. The classify join is sized "
     "|urls|, not |captures|.")
 
+import shutil
 import tempfile
 from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
 _bdt_dir = tempfile.mkdtemp(prefix="bdt_plans_")
@@ -163,7 +164,11 @@ try:
         "VERDICT r03 as the last design gap.")
 finally:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _prev_abt)
-_bdt.drop(spark)
+    # inside finally: an add() failure must not leak the plans_frontier_*
+    # catalog entries / bdt_plans_* tempdir into the shared warehouse for
+    # later doc-gen runs
+    _bdt.drop(spark)
+    shutil.rmtree(_bdt_dir, ignore_errors=True)
 
 with open("/root/repo/PLANS.md", "w") as f:
     f.write("# PLANS — physical-plan review of the core operators\n\n"

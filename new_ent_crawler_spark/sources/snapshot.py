@@ -370,27 +370,62 @@ class BucketedDeltaTable:
         compaction may read the table it is rewriting
         (``t.overwrite(spark, t.read(spark))``) without its lazy input
         plan scanning already-deleted files."""
+        self._guard_crosswire(spark)
         tagged = self._tag(df, version)
         tmp_sub = "base_new_" + uuid.uuid4().hex[:8]
         tmp_table = f"{self.base_table}_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
         self._save(tagged, tmp_table, tmp_sub, "overwrite")  # runs the plan
-        # the input is now safely on disk; swap it in
+        # the input is now safely on disk; swap it in.  The old base is
+        # renamed ASIDE (not rmtree'd) before the new dir is promoted, so
+        # a crash anywhere in the swap leaves at least one complete copy
+        # of the data on disk (base_old_* + base_new_* are both
+        # recoverable); only after the promote + spec rewrite succeed are
+        # the old files deleted.
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
         spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")
         spark.sql(f"DROP TABLE IF EXISTS {self.delta_table}")
-        for sub in ("base", "deltas"):
-            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-        os.rename(os.path.join(self.path, tmp_sub),
-                  os.path.join(self.path, "base"))
+        base_dir = os.path.join(self.path, "base")
+        old_sub = "base_old_" + uuid.uuid4().hex[:8]
+        if os.path.isdir(base_dir):
+            os.rename(base_dir, os.path.join(self.path, old_sub))
+        os.rename(os.path.join(self.path, tmp_sub), base_dir)
         with open(self._spec_path, "w") as f:
             json.dump({"key_col": self.key_col, "buckets": self.buckets,
                        "schema_ddl": tagged.schema.toDDL()}, f)
+        shutil.rmtree(os.path.join(self.path, old_sub), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.path, "deltas"), ignore_errors=True)
         self.register(spark)
+
+    def _guard_crosswire(self, spark: SparkSession) -> None:
+        """Catalog entries are keyed by ``name``, which is session-global:
+        a second instance with the same name but a DIFFERENT path would
+        silently read/append/drop the first instance's files through the
+        shared catalog entries.  Raise instead — the caller picked a
+        colliding name, and every operation after this point would
+        corrupt the other table."""
+        me = os.path.realpath(self.path)
+        for table, sub in ((self.base_table, "base"),
+                           (self.delta_table, "deltas")):
+            if not spark.catalog.tableExists(table):
+                continue
+            rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            loc = next((r["data_type"] for r in rows
+                        if r["col_name"] == "Location"), None)
+            if loc is None:
+                continue
+            loc_path = os.path.realpath(loc.removeprefix("file:"))
+            if loc_path != os.path.join(me, sub):
+                raise ValueError(
+                    f"catalog table {table!r} already points at "
+                    f"{loc_path!r}, not {os.path.join(me, sub)!r}: two "
+                    f"BucketedDeltaTable instances share the name "
+                    f"{self.name!r} with different paths")
 
     def _ensure_registered(self, spark: SparkSession) -> None:
         """Fresh-session guard: if the spec exists but a catalog entry for
         on-disk files is missing, re-register before touching the table."""
+        self._guard_crosswire(spark)
         if not os.path.exists(self._spec_path):
             return
         base_missing = (os.path.isdir(os.path.join(self.path, "base"))
@@ -408,14 +443,23 @@ class BucketedDeltaTable:
         # fresh session, files on disk: re-register instead of letting the
         # "overwrite" create below clobber the existing deltas
         self._ensure_registered(spark)
+        tagged = self._tag(df, version)
+        if not os.path.exists(self._spec_path):
+            # delta-before-base bootstrap: without a spec the files could
+            # never be re-registered after a session restart (stranded on
+            # disk) — persist the spec from the first delta's schema
+            with open(self._spec_path, "w") as f:
+                json.dump({"key_col": self.key_col, "buckets": self.buckets,
+                           "schema_ddl": tagged.schema.toDDL()}, f)
         mode = ("append" if spark.catalog.tableExists(self.delta_table)
                 else "overwrite")
-        self._save(self._tag(df, version), self.delta_table, "deltas", mode)
+        self._save(tagged, self.delta_table, "deltas", mode)
 
     def register(self, spark: SparkSession) -> None:
         """Re-create the catalog entries in a fresh session from the stored
         spec — same files, same bucket layout (the catalog-persistence role
         Iceberg plays on a real cluster)."""
+        self._guard_crosswire(spark)
         with open(self._spec_path) as f:
             spec = json.load(f)
         for table, sub in ((self.base_table, "base"),
@@ -437,13 +481,27 @@ class BucketedDeltaTable:
         delta-key distinct, and the base anti-join all run bucket-local —
         no exchange at any frontier size."""
         self._ensure_registered(spark)
+        has_base = spark.catalog.tableExists(self.base_table)
+        has_delta = spark.catalog.tableExists(self.delta_table)
+        if has_base and not has_delta:
+            return spark.table(self.base_table).drop(self.VERSION_COL)
+        if has_delta and not has_base:
+            # delta-before-base bootstrap: resolve latest-per-key over the
+            # deltas alone (an empty base needs no anti-join)
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+            deltas = spark.table(self.delta_table)
+            w = Window.partitionBy(self.key_col).orderBy(
+                F.col(self.VERSION_COL).desc())
+            return (deltas.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", self.VERSION_COL))
         base = spark.table(self.base_table).drop(self.VERSION_COL)
-        if not spark.catalog.tableExists(self.delta_table):
-            return base
         return _lww_merge(base, spark.table(self.delta_table),
                           self.key_col, self.VERSION_COL)
 
     def drop(self, spark: SparkSession) -> None:
+        self._guard_crosswire(spark)  # never drop another table's entries
         spark.sql(f"DROP TABLE IF EXISTS {self.base_table}")
         spark.sql(f"DROP TABLE IF EXISTS {self.delta_table}")
         shutil.rmtree(self.path, ignore_errors=True)

@@ -220,3 +220,86 @@ def test_bucketed_read_in_fresh_session_self_registers(spark, tmp_path):
     rows = {r["url"]: r["status"] for r in t.read(spark).collect()}
     assert rows == {f"u{i}": (1 if i < 3 else 0) for i in range(10)}
     t.drop(spark)
+
+
+def test_bucketed_name_collision_with_different_path_raises(spark, tmp_path):
+    """Two instances sharing a catalog name but not a path must refuse to
+    serve each other's files (ADVICE r04: the second instance's
+    read/append/drop silently cross-wired through the session-global
+    catalog entries)."""
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
+    a = BucketedDeltaTable(str(tmp_path / "pa"), name="bft7",
+                           key_col="url", buckets=4)
+    base = spark.range(5).select(
+        F.concat(F.lit("u"), "id").alias("url"), F.lit(0).alias("status"))
+    a.overwrite(spark, base, version=0)
+    b = BucketedDeltaTable(str(tmp_path / "pb"), name="bft7",
+                           key_col="url", buckets=4)
+    with pytest.raises(ValueError, match="share the name"):
+        b.read(spark)
+    with pytest.raises(ValueError, match="share the name"):
+        b.append_delta(spark, base, version=1)
+    with pytest.raises(ValueError, match="share the name"):
+        b.drop(spark)
+    assert a.read(spark).count() == 5  # instance a is untouched
+    a.drop(spark)
+
+
+def test_bucketed_delta_before_base_survives_catalog_loss(spark, tmp_path):
+    """append_delta on a brand-new table (no overwrite yet) must persist
+    the bucket spec so a fresh session can re-register the delta files
+    (ADVICE r04: they were stranded, read() raised
+    TABLE_OR_VIEW_NOT_FOUND)."""
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
+    t = BucketedDeltaTable(str(tmp_path / "db"), name="bft8",
+                           key_col="url", buckets=4)
+    d = spark.range(7).select(
+        F.concat(F.lit("u"), "id").alias("url"), F.lit(1).alias("status"))
+    t.append_delta(spark, d, version=1)
+    spark.sql(f"DROP TABLE {t.delta_table}")     # catalog loss, files stay
+    rows = {r["url"] for r in t.read(spark).collect()}
+    assert rows == {f"u{i}" for i in range(7)}
+    t.drop(spark)
+
+
+def test_bucketed_overwrite_keeps_a_copy_until_promoted(spark, tmp_path):
+    """The compaction swap renames the old base aside and deletes it only
+    after the new base + spec are in place: at no point between the save
+    and the promote is the data's only copy gone (ADVICE r04: the old
+    rmtree-then-rename window could lose the table on a crash)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from new_ent_crawler_spark.sources.snapshot import BucketedDeltaTable
+    t = BucketedDeltaTable(str(tmp_path / "ow"), name="bft9",
+                           key_col="url", buckets=4)
+    base = spark.range(6).select(
+        F.concat(F.lit("u"), "id").alias("url"), F.lit(0).alias("status"))
+    t.overwrite(spark, base, version=0)
+    # simulate the crash window: if os.rename of the new dir fails, the
+    # old base must still exist (renamed aside, not rmtree'd)
+    real_rename = os.rename
+    renames = []
+
+    def failing_rename(src, dst):
+        renames.append((src, dst))
+        if "base_new_" in src:
+            raise OSError("injected crash before promote")
+        return real_rename(src, dst)
+
+    import unittest.mock as mock
+    with mock.patch("os.rename", side_effect=failing_rename):
+        with pytest.raises(OSError, match="injected"):
+            t.overwrite(spark, base.withColumn("status", F.lit(9)),
+                        version=1)
+    # data survives: exactly one complete copy under base_old_* plus the
+    # new one under base_new_* — nothing was deleted
+    subdirs = os.listdir(t.path)
+    assert any(s.startswith("base_old_") for s in subdirs)
+    assert any(s.startswith("base_new_") for s in subdirs)
+    t.drop(spark)
