@@ -821,7 +821,11 @@ def run_scaling(out: dict) -> None:
     geometry = {"geometry_note":
                 f"{n_small}v{n_big} legs, fresh JVM per leg"
                 + (", cpuset-pinned" if pin else "")
-                + "; see BENCH/BASELINE.md §1.1b/d, §1.4-1.5",
+                + "; min-of-N per leg, so ratios can exceed 1.0 when an "
+                  "N sample lands in a host squeeze window while the "
+                  "spread 4N samples catch clean ones (steady bands: "
+                  "crawl ~0.84-0.88, parse ~0.9-1.0); see "
+                  "BENCH/BASELINE.md §1.1b/d, §1.4-1.5",
                 # parse-kernel urls/s per thread along the shared-memory
                 # decay curve: unpinned clean windows at 1/2/4/8 cpus, and
                 # the pinned 1v4 pair from the §1.5 validation run — why

