@@ -287,7 +287,16 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     md5-derived token hashes — explode + groupBy, all JVM-side.  60 bits
     (not the textbook 64) because the token hash is the first 15 hex chars
     of md5 so DuckDB can reproduce it exactly as a signed BIGINT-safe
-    ``CAST('0x' || substr(md5(..), 1, 15) AS BIGINT)``."""
+    ``CAST('0x' || substr(md5(..), 1, 15) AS BIGINT)``.
+
+    Shape note (r05): a zero-shuffle in-row variant (fold the token array
+    into the 60-wide vote vector with one ``aggregate``, like
+    ``minhash_signatures``) was built, verified identical, and REJECTED —
+    it measured 2.3x the CPU (1.92 s vs 0.82 s at sf0.1) because each
+    token allocates a 60-element vote array, while this shape's 60
+    primitive sum buffers stay in whole-stage codegen and the exchange it
+    saves is only ~500 bytes/doc after map-side partial aggregation.
+    Shuffle-free is not free; CPU dominates here at every scale."""
     toks = (docs
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(F.split(normalized_text(text_col), " "))
