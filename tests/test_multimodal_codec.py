@@ -786,3 +786,29 @@ try:
         assert (MM.decode_bmp(MM.encode_bmp(px)) == px).all()
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(st.integers(1, 14), st.integers(0, 1),
+                              st.integers(0, 2**31 - 1)),
+                    min_size=1, max_size=12),
+           st.sampled_from([44100, 48000, 32000]),
+           st.integers(0, 64))
+    def test_prop_mp3_header_scan_matches_spec(specs, rate, id3_len):
+        specs = [(b, p, str(s).encode()) for b, p, s in specs]
+        stream = MM.encode_mp3_stream(specs, sample_rate=rate,
+                                      id3_body=b"j" * id3_len)
+        s = MM.scan_mp3_headers(stream)
+        lens = [(144_000 * MM._MP3_KBPS[b]) // rate + p
+                for b, p, _ in specs]
+        assert s["n_frames"] == len(specs)
+        assert s["n_bytes"] == (10 + id3_len if id3_len else 0) + sum(lens)
+        assert s["sample_rate"] == rate
+        assert s["sum_kbps"] == sum(MM._MP3_KBPS[b] for b, _, _ in specs)
+        assert s["duration_ms"] == len(specs) * 1152 * 1000 // rate
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
